@@ -1,0 +1,142 @@
+"""
+Differentiable image manipulations — the photo-editing operations the forensic
+workflow learns to classify (reference helpers/tf_helpers.py:68-213).
+
+All functions are pure NHWC → NHWC maps, safe under jit/vmap/grad. The stochastic
+AWGN manipulation takes an explicit PRNG key.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_imaging_tpu.ops import color, ops
+from neural_imaging_tpu.ops.kernels import gkern, repeat_2dfilter
+
+
+def resample(x, factor=50, method='bilinear'):
+    """Down-and-back-up resampling by a percentage factor (50 → half size)."""
+    if 0 < factor <= 1:
+        factor = 100 * factor
+    size = x.shape[1] * int(factor) // 100
+    down = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), method=method)
+    return jax.image.resize(down, (x.shape[0], x.shape[1], x.shape[1], x.shape[3]), method=method)
+
+
+def awgn(x, strength=0.025, key=None):
+    """Additive white Gaussian noise + soft uint8 quantization."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    y = x + strength * jax.random.normal(key, x.shape, dtype=x.dtype)
+    y = ops.soft_quantization(y)
+    return jnp.clip(y, 0, 1)
+
+
+def gamma(x, strength=2.0):
+    """Gamma round-trip: x^s, quantize, then back with x^(1/s)."""
+    y = jnp.power(jnp.clip(x, 1e-9, None), strength)
+    y = ops.soft_quantization(y)
+    return jnp.power(jnp.clip(y, 1.0 / 255, 1), 1.0 / strength)
+
+
+def median(x, kernel=3):
+    """Median filter via sorted sliding-window patches (reflect padded)."""
+    kernel = int(kernel)
+    if kernel % 2 == 0:
+        kernel += 1
+    kernel = max(kernel, 1)
+    pad = kernel // 2
+    xp = ops.pad2d(x, pad, 'reflect')
+    # Gather the kernel² shifted views; kernel is a static (small) Python int.
+    h, w = x.shape[1], x.shape[2]
+    views = [xp[:, dy:dy + h, dx:dx + w, :] for dy in range(kernel) for dx in range(kernel)]
+    stack = jnp.stack(views, axis=-1)                    # (N, H, W, C, k²)
+    sorted_vals = jnp.sort(stack, axis=-1)
+    return sorted_vals[..., (kernel * kernel) // 2]
+
+
+def gaussian(x, kernel=5, std=0.83, skip_clip=False):
+    """Depthwise Gaussian blur (reflect padded)."""
+    kernel = int(kernel)
+    gk = gkern(kernel, std)
+    gfilter = np.zeros((kernel, kernel, 3, 3), dtype=np.float32)
+    for r in range(3):
+        gfilter[:, :, r, r] = gk
+    xp = ops.pad2d(x, kernel // 2, 'reflect')
+    y = ops.conv2d(xp, gfilter, padding='VALID')
+    return y if skip_clip else jnp.clip(y, 0, 1)
+
+
+def _sharpen_filter(strength, hsv):
+    gk = np.array([[-0.0833, -0.1667, -0.0833],
+                   [-0.1667, 0.0, -0.1667],
+                   [-0.0833, -0.1667, -0.0833]])
+    gk = strength * gk / np.abs(gk.sum())
+    gk[1, 1] = strength + 1
+    gfilter = repeat_2dfilter(gk, 3)
+    if hsv:
+        # identity kernel on the HSV saturation channel (only H and V sharpened)
+        gfilter[:, :, 1:2, 1:2] = 0
+        gfilter[2, 2, 1:2, 1:2] = 1
+    return gfilter.astype(np.float32)
+
+
+def sharpen(x, strength=1.0, hsv=True):
+    """Unsharp-mask style sharpening, optionally applied in HSV space."""
+    gfilter = _sharpen_filter(float(strength), hsv)
+    y = ops.pad2d(x, 1, 'symmetric')
+    if hsv:
+        y = color.rgb_to_hsv(y)
+    y = ops.conv2d(y, gfilter, padding='VALID')
+    if hsv:
+        y = color.hsv_to_rgb(y)
+    return jnp.clip(y, 0, 1)
+
+
+def residual(x, hsv=False):
+    """High-pass residual filter (for fingerprint-style analyses)."""
+    gk = np.array([[-0.0833, -0.1667, -0.0833],
+                   [-0.1667, 1.0, -0.1667],
+                   [-0.0833, -0.1667, -0.0833]])
+    gfilter = repeat_2dfilter(gk, 3)
+    if hsv:
+        gfilter[:, :, 1:2, 1:2] = 0
+        gfilter[2, 2, 1:2, 1:2] = 1
+    y = ops.pad2d(x, 1, 'reflect')
+    if hsv:
+        y = color.rgb_to_hsv(y)
+    y = ops.conv2d(y, gfilter.astype(np.float32), padding='VALID')
+    if hsv:
+        y = color.hsv_to_rgb(y)
+    return y
+
+
+# Registry used by the manipulation-classification workflow. Each entry maps
+# (x, strength, key) → manipulated image; default strengths / randomization ranges
+# follow the reference workflow (workflows/manipulation_classification.py:80-90).
+def _jpeg_manipulation(x, strength, key=None):
+    from neural_imaging_tpu.models.jpeg import differentiable_jpeg
+    return differentiable_jpeg(x, strength)
+
+
+MANIPULATIONS = {
+    'sharpen': lambda x, s, key=None: sharpen(x, s, hsv=True),
+    'resample': lambda x, s, key=None: resample(x, s),
+    'gaussian': lambda x, s, key=None: gaussian(x, 5, s),
+    'jpeg': _jpeg_manipulation,
+    'awgn': lambda x, s, key=None: awgn(x, s / 255.0, key),
+    'gamma': lambda x, s, key=None: gamma(x, s),
+    'median': lambda x, s, key=None: median(x, s),
+}
+
+DEFAULT_STRENGTHS = {'sharpen': 1, 'resample': 50, 'gaussian': 0.83, 'jpeg': 80,
+                     'awgn': 5.1, 'gamma': 3, 'median': 3}
+
+STRENGTH_RANGES = {
+    'sharpen': (0.25, 1.5),
+    'resample': (40, 90),
+    'gaussian': (0.5, 7),
+    'jpeg': (50, 90),
+    'awgn': (1, 5),
+    'gamma': (1, 5),
+    'median': (3, 9),
+}

@@ -1,0 +1,175 @@
+"""
+Core differentiable ops shared across models: NHWC convolutions, depth/space
+shuffles, straight-through estimators, pixel quantization and training losses.
+
+These are the XLA-native building blocks of the TPU build; convs lower onto the MXU
+and elementwise chains fuse in XLA.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_imaging_tpu.ops import ssim as ssim_ops
+
+_DIMENSION_NUMBERS = ('NHWC', 'HWIO', 'NHWC')
+
+
+def conv2d(x, kernel, stride=1, padding='SAME', precision=jax.lax.Precision.HIGHEST):
+    """NHWC conv with an HWIO kernel. padding: 'SAME', 'VALID' or explicit pairs.
+
+    Defaults to HIGHEST precision: this wrapper carries the fidelity-critical fixed
+    filters (CFA upsampling, demosaicing, color matrices, manipulation kernels) whose
+    bf16 MXU error would dominate the PSNR budget; large learned CNN layers go
+    through flax and keep the fast backend default.
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(kernel, dtype=x.dtype), window_strides=stride, padding=padding,
+        dimension_numbers=_DIMENSION_NUMBERS, precision=precision)
+
+
+def depth_to_space(x, block=2):
+    """TF-semantics depth_to_space: channel (i*block+j)*C + c → subpixel (i, j)."""
+    n, h, w, c = x.shape
+    cc = c // (block * block)
+    x = x.reshape(n, h, w, block, block, cc)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * block, w * block, cc)
+
+
+def space_to_depth(x, block=2):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, block * block * c)
+
+
+def pad2d(x, pad, mode='reflect'):
+    """Spatial padding of an NHWC tensor. mode: 'reflect' | 'symmetric' | 'constant'."""
+    if pad == 0:
+        return x
+    cfg = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    if mode == 'constant':
+        return jnp.pad(x, cfg)
+    return jnp.pad(x, cfg, mode=mode)
+
+
+def avg_pool(x, factor):
+    """Average pooling with window=stride=factor (NHWC)."""
+    out = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                (1, factor, factor, 1), (1, factor, factor, 1), 'SAME')
+    return out / (factor * factor)
+
+
+def max_pool(x, window=2, stride=None, padding='VALID'):
+    stride = stride or window
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, window, window, 1), (1, stride, stride, 1), padding)
+
+
+def resize_bilinear(x, height, width):
+    """Bilinear resize with half-pixel centers (TF2 tf.image.resize parity)."""
+    return jax.image.resize(x, (x.shape[0], height, width, x.shape[3]), method='bilinear')
+
+
+def global_average_pool(x):
+    return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------------
+# Straight-through estimators
+# ---------------------------------------------------------------------------------
+
+def st_clip(x, lo=0.0, hi=1.0):
+    """Clip in the forward pass, identity gradient (ref models/pipelines.py:72)."""
+    return jax.lax.stop_gradient(jnp.clip(x, lo, hi) - x) + x
+
+
+def sin_round(x):
+    """Differentiable sinusoidal rounding approximation x - sin(2πx)/2π."""
+    return x - jnp.sin(2 * jnp.pi * x) / (2 * jnp.pi)
+
+
+def soft_round(x):
+    """Hard round forward, sinusoidal-approximation gradient backward."""
+    x_ = sin_round(x)
+    return jax.lax.stop_gradient(jnp.round(x) - x_) + x_
+
+
+def soft_quantization(x, alpha=255.0):
+    """Simulate uint8 quantization of a [0,1] image, differentiably."""
+    return soft_round(alpha * x) / alpha
+
+
+def quantize_and_clip(x):
+    return jnp.clip(soft_quantization(x), 0, 1)
+
+
+# ---------------------------------------------------------------------------------
+# Losses (255-scaled, matching the reference's conventions in helpers/tf_helpers.py)
+# ---------------------------------------------------------------------------------
+
+def mse(a, b):
+    return jnp.mean((255.0 * a - 255.0 * b) ** 2)
+
+
+def mae(a, b):
+    return jnp.mean(jnp.abs(255.0 * a - 255.0 * b))
+
+
+def ssim_loss(a, b):
+    return jnp.mean(255.0 * (1.0 - ssim_ops.ssim(a, b, max_val=1.0)))
+
+
+def msssim_loss(a, b):
+    return jnp.mean(255.0 * (1.0 - ssim_ops.ms_ssim(a, b, max_val=1.0)))
+
+
+def l2_loss(x):
+    """0.5 * sum(x**2) — parity with tf.nn.l2_loss used by the DCN objective."""
+    return 0.5 * jnp.sum(jnp.square(x))
+
+
+def corr(a, b):
+    """Per-image normalized correlation over (h, w, c)."""
+    am = (a - a.mean(axis=(1, 2, 3), keepdims=True)) / (1e-9 + a.std(axis=(1, 2, 3), keepdims=True))
+    bm = (b - b.mean(axis=(1, 2, 3), keepdims=True)) / (1e-9 + b.std(axis=(1, 2, 3), keepdims=True))
+    return jnp.mean(am * bm, axis=(1, 2, 3))
+
+
+LOSSES = {'L2': mse, 'L1': mae, 'SSIM': ssim_loss, 'MS-SSIM': msssim_loss}
+
+ACTIVATIONS = {
+    'leaky_relu': functools.partial(jax.nn.leaky_relu, negative_slope=0.2),
+    'relu': jax.nn.relu,
+    'tanh': jnp.tanh,
+    'sigmoid': jax.nn.sigmoid,
+    'softsign': jax.nn.soft_sign,
+}
+
+
+def psnr(a, b, max_val=1.0):
+    """Differentiable per-batch PSNR (dB)."""
+    err = jnp.mean((a - b) ** 2)
+    return 10.0 * jnp.log10(max_val ** 2 / jnp.maximum(err, 1e-12))
+
+
+def batch_psnr(a, b, max_val=1.0):
+    err = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10(max_val ** 2 / jnp.maximum(err, 1e-12))
+
+
+def gaussian_kernel_2d(kernlen, std, dtype=jnp.float32):
+    g1 = jnp.exp(-0.5 * ((jnp.arange(kernlen) - (kernlen - 1) / 2.0) / std) ** 2)
+    g2 = jnp.outer(g1, g1)
+    return (g2 / g2.sum()).astype(dtype)
+
+
+def percentile_normalize(x, percentile=0.5):
+    """Global brightness normalization between the given bottom/top percentiles."""
+    x = x - jnp.percentile(x, percentile)
+    # the top percentile is taken after the shift (reference order of operations)
+    return x / jnp.maximum(jnp.percentile(x, 100 - percentile), 1e-9)

@@ -13,6 +13,13 @@ os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The environment may pre-register an accelerator platform (e.g. a tunneled TPU)
+# via sitecustomize; force the CPU backend explicitly so tests are hermetic and the
+# 8-device virtual mesh is available.
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

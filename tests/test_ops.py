@@ -1,0 +1,249 @@
+"""Tests for the core op layer: shuffles, DCT, color, SSIM, quantization, manipulations."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.fft
+
+from neural_imaging_tpu.ops import color, dct, kernels, manipulations, ops, quantization
+
+jax.config.update('jax_enable_x64', False)
+
+
+class TestShuffles:
+    def test_depth_to_space_tf_semantics(self, rng):
+        x = rng.random((2, 3, 4, 12)).astype(np.float32)
+        out = np.asarray(ops.depth_to_space(jnp.array(x), 2))
+        # manual TF reference: out[n, h*2+i, w*2+j, c] = x[n, h, w, (i*2+j)*3 + c]
+        expected = np.zeros((2, 6, 8, 3), dtype=np.float32)
+        for n in range(2):
+            for h in range(3):
+                for w in range(4):
+                    for i in range(2):
+                        for j in range(2):
+                            for c in range(3):
+                                expected[n, h * 2 + i, w * 2 + j, c] = x[n, h, w, (i * 2 + j) * 3 + c]
+        assert np.allclose(out, expected)
+
+    def test_space_to_depth_inverse(self, rng):
+        x = jnp.array(rng.random((2, 8, 8, 3)).astype(np.float32))
+        assert np.allclose(ops.depth_to_space(ops.space_to_depth(x, 2), 2), x)
+
+    def test_upsampling_kernel_routing(self, rng):
+        """upsampling kernel + depth_to_space must scatter the RGGB stack back to
+        the correct mosaic positions for every CFA pattern."""
+        from neural_imaging_tpu.data import bayer
+        img = rng.random((6, 6, 3)).astype(np.float32)
+        for cfa in ['GBRG', 'RGGB', 'BGGR']:
+            stack = bayer.stack_bayer(img, cfa)[None]
+            upk = kernels.upsampling_kernel(cfa).reshape(1, 1, 4, 12)
+            h12 = ops.conv2d(jnp.array(stack), upk)
+            mosaic_rgb = np.asarray(ops.depth_to_space(h12, 2))[0]
+            assert np.allclose(mosaic_rgb, bayer.simulate_bayer(img, cfa), atol=1e-6), cfa
+
+
+class TestDCT:
+    def test_matches_scipy_orthonormal(self, rng):
+        blocks = rng.standard_normal((5, 8, 8)).astype(np.float32)
+        out = np.asarray(dct.dct2d(jnp.array(blocks)))
+        expected = scipy.fft.dctn(blocks, axes=(1, 2), norm='ortho', type=2)
+        assert np.allclose(out, expected, atol=1e-4)
+
+    def test_roundtrip(self, rng):
+        blocks = rng.standard_normal((5, 8, 8)).astype(np.float32)
+        rec = np.asarray(dct.idct2d(dct.dct2d(jnp.array(blocks))))
+        assert np.allclose(rec, blocks, atol=1e-4)
+
+    def test_blockify_roundtrip(self, rng):
+        x = jnp.array(rng.random((2, 16, 24, 3)).astype(np.float32))
+        blocks = dct.blockify(x, 8)
+        assert blocks.shape == (2, 3, 2, 3, 8, 8)
+        assert np.allclose(dct.deblockify(blocks), x)
+        # block (0,0) of channel 0 is the top-left 8x8 tile
+        assert np.allclose(blocks[0, 0, 0, 0], x[0, :8, :8, 0])
+
+
+class TestColor:
+    def test_ycbcr_roundtrip(self, rng):
+        x = jnp.array(rng.random((2, 8, 8, 3)).astype(np.float32) * 255)
+        rec = color.ycbcr_to_rgb(color.rgb_to_ycbcr(x))
+        # the JFIF inverse constants are themselves rounded to 6 decimals, so the
+        # round-trip is only approximate (~0.03 on the 255 scale)
+        assert np.abs(np.asarray(rec) - np.asarray(x)).max() < 0.06
+
+    def test_ycbcr_known_values(self):
+        white = jnp.array([[[[255.0, 255.0, 255.0]]]])
+        ycc = np.asarray(color.rgb_to_ycbcr(white))[0, 0, 0]
+        assert np.allclose(ycc, [255, 128, 128], atol=0.1)
+
+    def test_hsv_matches_matplotlib(self, rng):
+        import matplotlib.colors as mcolors
+        x = rng.random((32, 32, 3)).astype(np.float32)
+        ours = np.asarray(color.rgb_to_hsv(jnp.array(x[None])))[0]
+        ref = mcolors.rgb_to_hsv(x)
+        assert np.abs(ours - ref).max() < 1e-5
+
+    def test_hsv_roundtrip(self, rng):
+        x = jnp.array(rng.random((2, 16, 16, 3)).astype(np.float32))
+        rec = color.hsv_to_rgb(color.rgb_to_hsv(x))
+        assert np.abs(np.asarray(rec) - np.asarray(x)).max() < 1e-5
+
+
+class TestSSIM:
+    def test_identity(self, rng):
+        from neural_imaging_tpu.ops import ssim
+        a = jnp.array(rng.random((2, 32, 32, 3)).astype(np.float32))
+        val = np.asarray(ssim.ssim(a, a))
+        assert np.allclose(val, 1.0, atol=1e-5)
+
+    def test_monotone(self, rng):
+        from neural_imaging_tpu.ops import ssim
+        a = jnp.array(rng.random((1, 64, 64, 3)).astype(np.float32))
+        n1 = jnp.clip(a + 0.02 * jnp.array(rng.standard_normal(a.shape).astype(np.float32)), 0, 1)
+        n2 = jnp.clip(a + 0.2 * jnp.array(rng.standard_normal(a.shape).astype(np.float32)), 0, 1)
+        s1, s2 = float(ssim.ssim(a, n1)[0]), float(ssim.ssim(a, n2)[0])
+        assert 0 < s2 < s1 < 1
+
+    def test_ms_ssim_runs(self, rng):
+        from neural_imaging_tpu.ops import ssim
+        a = jnp.array(rng.random((1, 180, 180, 3)).astype(np.float32))
+        b = jnp.clip(a + 0.05, 0, 1)
+        val = float(ssim.ms_ssim(a, b)[0])
+        assert 0 < val <= 1.02  # weighted power product can slightly exceed 1
+
+    def test_grad_flows(self, rng):
+        from neural_imaging_tpu.ops import ssim
+        a = jnp.array(rng.random((1, 32, 32, 3)).astype(np.float32))
+        b = jnp.clip(a + 0.1, 0, 1)
+        g = jax.grad(lambda y: jnp.mean(ssim.ssim(a, y)))(b)
+        assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+class TestSTE:
+    def test_st_clip(self):
+        f = lambda x: jnp.sum(ops.st_clip(x))
+        x = jnp.array([-0.5, 0.5, 1.5])
+        y = ops.st_clip(x)
+        assert np.allclose(y, [0, 0.5, 1])
+        assert np.allclose(jax.grad(f)(x), [1, 1, 1])
+
+    def test_soft_round_forward_and_grad(self):
+        x = jnp.array([0.2, 0.5, 1.7, -0.4])
+        assert np.allclose(ops.soft_round(x), np.round(np.asarray(x)))
+        g = jax.grad(lambda v: jnp.sum(ops.soft_round(v)))(x)
+        expected = 1 - np.cos(2 * np.pi * np.asarray(x))
+        assert np.allclose(g, expected, atol=1e-5)
+
+    def test_soft_quantization(self, rng):
+        x = jnp.array(rng.random((8, 8)).astype(np.float32))
+        q = np.asarray(ops.soft_quantization(x))
+        assert np.allclose(q, np.round(np.asarray(x) * 255) / 255, atol=1e-6)
+
+
+class TestQuantization:
+    def test_modes_forward(self):
+        x = jnp.array([0.2, 1.6, -2.3])
+        assert np.allclose(quantization.quantize(x, 'round'), [0, 2, -2])
+        assert np.allclose(quantization.quantize(x, 'identity'), x)
+        assert np.allclose(quantization.quantize(x, 'soft'), [0, 2, -2])
+
+    def test_default_codebook(self):
+        cb = quantization.default_codebook(3)
+        assert np.allclose(cb, [-3, -2, -1, 0, 1, 2, 3, 4])
+
+    def test_soft_codebook_matches_float64_oracle(self, rng):
+        """Log-space float32 weights must agree with the reference float64 direct form."""
+        cb = quantization.default_codebook(5).astype(np.float64)
+        x = rng.uniform(-18, 18, 4096)
+        v, gamma_, eps = 50.0, 25.0, 1e-72
+        d = gamma_ * (x[:, None] - cb[None, :])
+        w64 = (1 + d ** 2 / v) ** (-(v + 1) / 2)
+        w64 = (w64 + eps) / (w64 + eps).sum(axis=1, keepdims=True)
+        soft64 = w64 @ cb
+        hard64 = cb[np.argmax(w64, axis=1)]
+
+        q = np.asarray(quantization.quantize(jnp.array(x, dtype=jnp.float32),
+                                             'soft-codebook', cb.astype(np.float32)))
+        assert np.allclose(q, hard64, atol=1e-4)  # forward = hard assignment
+
+        w32 = np.asarray(quantization.codebook_weights(
+            jnp.array(x, dtype=jnp.float32), jnp.array(cb, dtype=jnp.float32)))
+        # tails differ where the reference's eps floor dominates; heads agree
+        assert np.abs(w32 - w64).max() < 1e-4
+        soft32 = w32 @ cb
+        assert np.abs(soft32 - soft64).max() < 5e-4
+
+    def test_soft_codebook_out_of_range_stable(self):
+        cb = quantization.default_codebook(5)
+        x = jnp.array([1000.0, -1000.0])
+        q = np.asarray(quantization.quantize(x, 'soft-codebook', cb))
+        assert np.isfinite(q).all()
+        assert q[0] == cb.max() and q[1] == cb.min()
+
+    def test_entropy_uniform_and_degenerate(self, rng):
+        cb = quantization.default_codebook(4)
+        samples = jnp.array(np.repeat(cb, 64).astype(np.float32))
+        h, hist = quantization.entropy(samples, cb)
+        assert abs(float(h) - 4.0) < 0.05
+        h0, _ = quantization.entropy(jnp.zeros(1024), cb)
+        assert float(h0) < 0.2
+
+    def test_entropy_gradient_finite(self, rng):
+        cb = quantization.default_codebook(4)
+        x = jnp.array(rng.standard_normal(256).astype(np.float32) * 3)
+        g = jax.grad(lambda v: quantization.entropy(v, cb)[0])(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_quantize_with_entropy_consistent(self, rng):
+        cb = quantization.default_codebook(5)
+        x = jnp.array(rng.standard_normal((4, 8, 8, 2)).astype(np.float32) * 5)
+        q, h, hist = quantization.quantize_with_entropy(x, cb)
+        assert q.shape == x.shape
+        assert 0 < float(h) <= 5.0
+        assert np.allclose(np.asarray(hist).sum(), 1, atol=1e-5)
+
+
+class TestManipulations:
+    def setup_method(self):
+        self.rng = np.random.default_rng(7)
+        self.x = jnp.array(self.rng.random((2, 32, 32, 3)).astype(np.float32))
+
+    def test_shapes_preserved(self):
+        key = jax.random.PRNGKey(0)
+        for name, fn in manipulations.MANIPULATIONS.items():
+            if name == 'jpeg':
+                continue  # tested with the JPEG model
+            out = fn(self.x, manipulations.DEFAULT_STRENGTHS[name], key)
+            assert out.shape == self.x.shape, name
+            assert np.isfinite(np.asarray(out)).all(), name
+
+    def test_median_known(self):
+        x = jnp.zeros((1, 8, 8, 3)).at[0, 4, 4, :].set(1.0)  # single hot pixel
+        out = manipulations.median(x, 3)
+        assert float(out[0, 4, 4, 0]) == 0.0  # median removes the outlier
+
+    def test_gaussian_smooths(self):
+        out = manipulations.gaussian(self.x, 5, 2.0)
+        assert float(jnp.var(out)) < float(jnp.var(self.x))
+
+    def test_sharpen_boosts_highfreq(self):
+        blurred = manipulations.gaussian(self.x, 5, 1.0)
+        sharpened = manipulations.sharpen(blurred, 1.0)
+        lap = lambda im: float(jnp.var(im[:, 1:] - im[:, :-1]))
+        assert lap(sharpened) > lap(blurred)
+
+    def test_resample_lowpasses(self):
+        out = manipulations.resample(self.x, 50)
+        assert out.shape == self.x.shape
+        assert float(jnp.var(out)) < float(jnp.var(self.x))
+
+    def test_awgn_determinism_with_key(self):
+        key = jax.random.PRNGKey(3)
+        a = manipulations.awgn(self.x, 0.02, key)
+        b = manipulations.awgn(self.x, 0.02, key)
+        assert np.allclose(a, b)
+
+    def test_jit_compatibility(self):
+        f = jax.jit(lambda x: manipulations.sharpen(manipulations.gaussian(x, 5, 1.0), 0.5))
+        out = f(self.x)
+        assert out.shape == self.x.shape
