@@ -38,7 +38,7 @@ def gamma_kernels():
     d1k = np.array([2.9542332, 17.780445, 0.6280197, 0.40384966])
     d1b = np.array([0.4047071, 1.1489044, -0.17624384, 0.47826886])
     d2k = np.array([0.44949612, 0.78081024, 0.97692937, -0.24265033])
-    d2b = np.array([-0.4702738])
+    d2b = -0.4702738
 
     gamma_d1k = np.zeros((3, 12))
     gamma_d1b = np.zeros((12,))
