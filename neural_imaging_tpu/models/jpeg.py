@@ -1,0 +1,224 @@
+"""
+JPEG compression models: a differentiable XLA/MXU implementation and a high-level
+codec wrapper with libjpeg switching and quality randomization.
+
+Capability parity with reference models/jpeg.py. Design differences (TPU-first):
+
+- the codec is one pure function ``jpeg_forward(x, q_luma, q_chroma)`` — blockify is
+  reshape/transpose (free in XLA), the 8x8 DCT/IDCT are batched matmuls pinned to
+  f32 precision on the MXU, and the quantization tables are *traced inputs*, so
+  changing the JPEG quality (including per-step randomization) never recompiles
+  (the reference swaps table attributes around each call, models/jpeg.py:236-243);
+- entropy of the quantized coefficients is actually computed (empirical, host-side)
+  where the reference returns NaN (models/jpeg.py:246-249).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_imaging_tpu.compression import jpeg_helpers
+from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qf_estimation, jpeg_qtable
+from neural_imaging_tpu.models.base import TPUModel
+from neural_imaging_tpu.ops import color, dct
+from neural_imaging_tpu.ops import quantization as quant
+from neural_imaging_tpu.utils.utils import is_number
+
+_common_codec = None
+
+ROUNDING_APPROXIMATIONS = ('sin', 'harmonic', 'soft')
+
+
+def is_valid_quality(quality):
+    if is_number(quality) and 1 <= quality <= 100:
+        return True
+    if hasattr(quality, '__getitem__') and len(quality) > 1 and all(1 <= x <= 100 for x in quality):
+        return True
+    return False
+
+
+@functools.partial(jax.jit, static_argnames=('rounding', 'taylor_terms'))
+def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5):
+    """
+    Differentiable JPEG round-trip.
+
+    :param x: RGB batch (N, H, W, 3) in [0,1]; H, W divisible by 8
+    :param q_luma/q_chroma: (8, 8) quantization tables (traced — any quality)
+    :param rounding: 'soft' | 'sin' | 'harmonic'
+    :return: (y, X) — compressed image in [0,1] and dequantized DCT coefficients
+             (N, 3, H/8, W/8, 8, 8)
+    """
+    ycc = color.rgb_to_ycbcr(255.0 * x) - 127.0
+
+    blocks = dct.blockify(ycc, 8)                      # (N, 3, hb, wb, 8, 8)
+    X = dct.dct2d(blocks)
+
+    # Per-channel tables: luma for Y, chroma for Cb/Cr — one gather, no tiling
+    Q = jnp.stack([q_luma, q_chroma, q_chroma]).astype(x.dtype)   # (3, 8, 8)
+    Q = Q[None, :, None, None, :, :]
+
+    Xq = quant.quantize(X / Q, rounding, taylor_terms=taylor_terms) * Q
+
+    y = dct.deblockify(dct.idct2d(Xq))
+    y = color.ycbcr_to_rgb(y + 127.0) / 255.0
+    return jnp.clip(y, 0.0, 1.0), Xq
+
+
+class DifferentiableJPEG:
+    """
+    Stateful wrapper over ``jpeg_forward`` with optionally *trainable* quantization
+    tables (ref models/jpeg.py:45-65). When trainable, the tables live in
+    ``self.params`` and can be optimized through the codec.
+    """
+
+    def __init__(self, quality=None, rounding_approximation='sin',
+                 rounding_approximation_steps=5, trainable=False):
+        if quality is not None and not is_valid_quality(quality):
+            raise ValueError('Invalid JPEG quality: requires int in [1,100] or an iterable of them')
+        if rounding_approximation is not None and rounding_approximation not in ROUNDING_APPROXIMATIONS:
+            raise ValueError(f'Unsupported rounding approximation: {rounding_approximation}')
+
+        self.quality = quality
+        self.trainable = trainable
+        self.rounding_approximation = rounding_approximation or 'soft'
+        self.rounding_approximation_steps = rounding_approximation_steps
+
+        if is_number(quality):
+            q_luma, q_chroma = jpeg_qtable(quality, 0), jpeg_qtable(quality, 1)
+        else:
+            q_luma = q_chroma = np.ones((8, 8), dtype=np.float32)
+
+        self.params = {'q_mtx_luma': jnp.asarray(q_luma),
+                       'q_mtx_chroma': jnp.asarray(q_chroma)}
+
+    @property
+    def q_mtx_luma(self):
+        return np.asarray(self.params['q_mtx_luma'])
+
+    @property
+    def q_mtx_chroma(self):
+        return np.asarray(self.params['q_mtx_chroma'])
+
+    def __call__(self, x, params=None, q_luma=None, q_chroma=None):
+        params = params if params is not None else self.params
+        q_luma = params['q_mtx_luma'] if q_luma is None else q_luma
+        q_chroma = params['q_mtx_chroma'] if q_chroma is None else q_chroma
+        return jpeg_forward(jnp.asarray(x, dtype=jnp.float32), q_luma, q_chroma,
+                            rounding=self.rounding_approximation,
+                            taylor_terms=self.rounding_approximation_steps)
+
+
+def differentiable_jpeg(x, quality):
+    """Compress with a shared lazily-initialized differentiable codec instance."""
+    global _common_codec
+    if _common_codec is None:
+        _common_codec = JPEG(None, 'soft')
+    return _common_codec.process(x, quality)
+
+
+class JPEG(TPUModel):
+    """
+    High-level JPEG codec: switches between the differentiable approximation
+    ('soft'/'sin'/'harmonic') and real libjpeg ('libjpeg'), with scalar / range /
+    set quality randomization (ref models/jpeg.py:162-233).
+    """
+
+    def __init__(self, quality=None, codec='soft', trainable=False, rng=None):
+        super().__init__()
+        if codec is not None and codec not in ('libjpeg', 'soft', 'sin', 'harmonic'):
+            raise ValueError(f'Unsupported codec version: {codec}')
+
+        self.codec = codec
+        self.quality = quality
+        self.trainable = trainable
+        self._rng = rng or np.random.default_rng()
+        self._model = None if codec == 'libjpeg' else DifferentiableJPEG(
+            quality, codec, trainable=trainable)
+        if self._model is not None and trainable:
+            self.params = self._model.params
+            self.init_optimizer()
+
+    def reset_performance_stats(self):
+        self.performance = self._reset_performance(['entropy', 'ssim', 'psnr'])
+
+    def loss(self, batch_c, batch_C, entropy=None):
+        """MSE distortion (entropy unused — JPEG has no rate parameter to train)."""
+        return jnp.mean((jnp.asarray(batch_c) - jnp.asarray(batch_C)) ** 2)
+
+    def _resolve_quality(self, quality):
+        quality = self.quality if quality is None else quality
+        if not is_valid_quality(quality):
+            raise ValueError('Invalid or unspecified JPEG quality!')
+        if hasattr(quality, '__getitem__') and len(quality) > 2:
+            return int(self._rng.choice(quality))
+        if hasattr(quality, '__getitem__') and len(quality) == 2:
+            return int(self._rng.integers(quality[0], quality[1]))
+        return int(quality)
+
+    def process(self, batch_x, quality=None, return_entropy=False):
+        """
+        Compress a batch of RGB images. Quality may be a number, a 2-tuple range
+        (uniform random int) or a longer list (random choice).
+        """
+        quality = self._resolve_quality(quality)
+
+        if self._model is None:  # real libjpeg on host
+            batch_x = np.asarray(batch_x)
+            y = jpeg_helpers.compress_batch(batch_x, quality)[0]
+            if return_entropy:
+                return y, np.nan
+            return y
+
+        if self.trainable or quality == self.quality:
+            y, X = self._model(batch_x)
+        else:
+            y, X = self._model(batch_x, q_luma=jnp.asarray(jpeg_qtable(quality, 0)),
+                               q_chroma=jnp.asarray(jpeg_qtable(quality, 1)))
+        if return_entropy:
+            # empirical (non-differentiable) entropy of the quantized coefficients;
+            # the reference leaves this as NaN for memory reasons
+            from neural_imaging_tpu.utils import stats
+            coeffs = np.asarray(jax.lax.stop_gradient(X))
+            entropy = stats.entropy(np.round(coeffs), np.arange(-1024, 1025))
+            return y, entropy
+        return y
+
+    def process_with_params(self, batch_x, params, quality=None):
+        """Differentiable path through explicit (trainable) quantization tables."""
+        if self._model is None:
+            raise ValueError('libjpeg codec has no differentiable parameters')
+        return self._model(batch_x, params=params)
+
+    def estimate_qf(self, channel=0):
+        table = self._model.q_mtx_luma if channel == 0 else self._model.q_mtx_chroma
+        return jpeg_qf_estimation(table, channel)
+
+    def __repr__(self):
+        if self._model is not None:
+            return f'JPEG(quality={self.quality},codec="{self.codec}",trainable={self._model.trainable})'
+        return f'JPEG(quality={self.quality},codec="{self.codec}")'
+
+    def summary(self, quality=None):
+        return f'JPEG ({self.codec}) {self._quality_mode(quality)}'
+
+    def summary_compact(self, quality=None):
+        return f'JPEG ({self.codec}) {self._quality_mode(quality)}'
+
+    @property
+    def model_code(self):
+        return f'JPEG-{self.codec}-{self._quality_mode()}'
+
+    def _quality_mode(self, quality=None):
+        quality = quality or self.quality
+        if self._model is not None and self._model.trainable:
+            return 'trainable QF~{}/{}'.format(
+                jpeg_qf_estimation(self._model.q_mtx_luma, 0),
+                jpeg_qf_estimation(self._model.q_mtx_chroma, 1))
+        if is_number(quality):
+            return f'QF={quality}'
+        if hasattr(quality, '__getitem__') and len(quality) == 2:
+            return 'QF~[{},{}]'.format(*quality)
+        if hasattr(quality, '__getitem__') and len(quality) > 2:
+            return 'QF~{{{}}}'.format(','.join(str(x) for x in quality))
+        return 'QF=?'
