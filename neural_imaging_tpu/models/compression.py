@@ -1,0 +1,280 @@
+"""
+Learned image compression models (DCN family).
+
+Capability parity with reference models/compression.py: an abstract DCN base with
+soft-codebook latent quantization, a differentiable entropy rate term and
+compression statistics, plus the TwitterDCN compressive autoencoder (Theis et al.).
+
+TPU-first design: encoder/decoder are flax modules; the quantizer + entropy
+estimator are the fused log-space float32 kernels from ops.quantization (the
+reference materializes a float64 (N, 2^bpf) weight matrix twice); the train step is
+one jitted value_and_grad over encoder+quantizer+entropy+decoder.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_imaging_tpu.models.base import TPUModel
+from neural_imaging_tpu.ops import ops
+from neural_imaging_tpu.ops import quantization as quant
+from neural_imaging_tpu.utils import paramspec
+
+
+class TwitterEncoder(nn.Module):
+    """Encoder: 2 strided 5x5 convs (64/128) + 3 residual blocks + strided conv to
+    n_features (ref models/compression.py:217-237); latent is (h/8, w/8, F)."""
+    n_features: int = 32
+    activation: str = 'leaky_relu'
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = ops.ACTIVATIONS[self.activation]
+        h = (2.0 * (x - 0.5)).astype(self.dtype)
+        h = act(nn.Conv(64, (5, 5), strides=(2, 2), name='down1')(h))
+        h = nn.Conv(128, (5, 5), strides=(2, 2), name='down2')(h)
+
+        r = jax.nn.leaky_relu(h, 0.2)
+        for i in range(3):
+            res = act(nn.Conv(128, (3, 3), name=f'res{i}_1')(r))
+            res = nn.Conv(128, (3, 3), name=f'res{i}_2')(res)
+            r = r + res
+
+        z = nn.Conv(self.n_features, (5, 5), strides=(2, 2), name='to_latent')(r)
+        return z.astype(jnp.float32)
+
+
+class TwitterDecoder(nn.Module):
+    """Decoder: mirror with three depth_to_space upsamples 512→256→12
+    (ref models/compression.py:247-271)."""
+    activation: str = 'leaky_relu'
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        act = ops.ACTIVATIONS[self.activation]
+        h = nn.Conv(512, (3, 3), name='up1')(z.astype(self.dtype))
+        h = ops.depth_to_space(h, 2)
+
+        for i in range(3):
+            res = act(nn.Conv(128, (3, 3), name=f'res{i}_1')(h))
+            res = nn.Conv(128, (3, 3), name=f'res{i}_2')(res)
+            h = h + res
+
+        h = act(nn.Conv(256, (3, 3), name='up2')(h))
+        h = ops.depth_to_space(h, 2)
+        h = nn.Conv(12, (3, 3), name='up3')(h)
+        h = ops.depth_to_space(h, 2)
+
+        y = (h.astype(jnp.float32) + 1.0) / 2.0
+        return ops.st_clip(y)
+
+
+class DCN(TPUModel):
+    """
+    Abstract learned codec: hyper-parameter schema, latent quantization with a
+    (optionally trainable) codebook + scale, entropy-regularized L2 loss,
+    compression statistics and compress/decompress/process APIs
+    (ref models/compression.py:28-184).
+    """
+
+    def __init__(self, patch_size=128, latent_bpf=5, rounding='soft-codebook',
+                 train_codebook=False, entropy_weight=250, scale_latent=True,
+                 use_batchnorm=False, loss_metric='L2', v=50.0, gamma=25.0, **kwargs):
+        super().__init__()
+        self._h = paramspec.ParamSpec({
+            'latent_bpf': (5, int, (1, 8)),
+            'train_codebook': (False, bool, None),
+            'entropy_weight': (250.0, float, (0, 1e6)),
+            'scale_latent': (True, bool, None),
+            'use_batchnorm': (False, bool, None),
+            'loss_metric': ('L2', str, {'L2'}),
+            'rounding': ('soft', str, {'identity', 'soft', 'soft-codebook', 'sin'}),
+        })
+        self._h.update(latent_bpf=latent_bpf, train_codebook=train_codebook,
+                       entropy_weight=entropy_weight, scale_latent=scale_latent,
+                       use_batchnorm=use_batchnorm, loss_metric=loss_metric,
+                       rounding=rounding)
+        self.patch_size = patch_size
+        self.v, self.gamma = float(v), float(gamma)
+
+        self.construct_model(**kwargs)
+        self._has_attributes(['_encoder', '_decoder'])
+        self._init_params()
+        self.init_optimizer()
+
+    # -- construction -----------------------------------------------------------------
+
+    def construct_model(self, **kwargs):
+        raise NotImplementedError('Not implemented!')
+
+    def _init_params(self, seed=0):
+        p = self.patch_size or 128
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        dummy = jnp.zeros((1, p, p, 3), dtype=jnp.float32)
+        enc_params = self._encoder.init(k1, dummy)['params']
+        z = self._encoder.apply({'params': enc_params}, dummy)
+        dec_params = self._decoder.init(k2, z)['params']
+
+        self.params = {'encoder': enc_params, 'decoder': dec_params}
+        if self._h.scale_latent:
+            self.params['latent_scale'] = jnp.ones(())
+        if self._h.train_codebook:
+            self.params['codebook'] = jnp.asarray(quant.default_codebook(self._h.latent_bpf))
+
+    # -- latent machinery --------------------------------------------------------------
+
+    def get_codebook(self, params=None):
+        params = params if params is not None else self.params
+        if self._h.train_codebook:
+            return np.asarray(params['codebook']).reshape(-1)
+        return quant.default_codebook(self._h.latent_bpf)
+
+    def _codebook(self, params):
+        if self._h.train_codebook:
+            return params['codebook'].reshape(-1)
+        return jnp.asarray(quant.default_codebook(self._h.latent_bpf))
+
+    def _quantize_latent(self, params, z):
+        """Scale → quantize → entropy (the reference's DiscreteLatent layer)."""
+        if self._h.scale_latent:
+            z = z * params['latent_scale']
+        q, entropy, _ = quant.quantize_with_entropy(
+            z, self._codebook(params), self._h.rounding, self.v, self.gamma)
+        return q, entropy
+
+    # -- pure compute graph ------------------------------------------------------------
+
+    def _apply_encoder(self, params, x):
+        z = self._encoder.apply({'params': params['encoder']}, x)
+        return self._quantize_latent(params, z)
+
+    def _apply_decoder(self, params, z):
+        return self._decoder.apply({'params': params['decoder']}, z)
+
+    def _apply(self, params, x):
+        q, entropy = self._apply_encoder(params, x)
+        return self._apply_decoder(params, q), entropy
+
+    def loss(self, batch_x, batch_y, entropy):
+        """L2 (tf.nn.l2_loss convention: 0.5·Σ²) + entropy_weight · H."""
+        return ops.l2_loss(jnp.asarray(batch_x) - jnp.asarray(batch_y)) \
+            + self._h.entropy_weight * entropy
+
+    # -- public API --------------------------------------------------------------------
+
+    def compress(self, batch_x):
+        """Quantized latent representation of an RGB batch (N, h/8, w/8, F)."""
+        batch_x = jnp.asarray(batch_x, dtype=jnp.float32)
+        if batch_x.ndim == 3:
+            batch_x = batch_x[None]
+        if '_jit_encode' not in self._jitted:
+            self._jitted['_jit_encode'] = jax.jit(lambda p, x: self._apply_encoder(p, x)[0])
+        return self._jitted['_jit_encode'](self.params, batch_x)
+
+    def decompress(self, batch_z):
+        batch_z = jnp.asarray(batch_z, dtype=jnp.float32)
+        if batch_z.ndim == 3:
+            batch_z = batch_z[None]
+        if '_jit_decode' not in self._jitted:
+            self._jitted['_jit_decode'] = jax.jit(self._apply_decoder)
+        return self._jitted['_jit_decode'](self.params, batch_z)
+
+    def process(self, batch_x, return_entropy=False):
+        batch_x = jnp.asarray(batch_x, dtype=jnp.float32)
+        if batch_x.ndim == 3:
+            batch_x = batch_x[None]
+        if '_jit_apply' not in self._jitted:
+            self._jitted['_jit_apply'] = jax.jit(self._apply)
+        y, entropy = self._jitted['_jit_apply'](self.params, batch_x)
+        return (y, entropy) if return_entropy else y
+
+    def training_step(self, batch_x, learning_rate=None):
+        """One jitted step; returns {loss (√2L convention), ssim, entropy}."""
+        if '_jit_train' not in self._jitted:
+            from neural_imaging_tpu.ops import ssim as ssim_ops
+
+            def step(params, opt_state, x, lr):
+                def loss_of(p):
+                    y, entropy = self._apply(p, x)
+                    return self.loss(x, y, entropy), (y, entropy)
+                (loss, (y, entropy)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+                params, opt_state = self.optimizer_update(grads, opt_state, params, lr)
+                ssim = jnp.mean(ssim_ops.ssim(x, y))
+                return params, opt_state, loss, ssim, entropy
+            self._jitted['_jit_train'] = jax.jit(step, donate_argnums=(0, 1))
+
+        lr = jnp.float32(1e-4 if learning_rate is None else learning_rate)
+        self.params, self.opt_state, loss, ssim, entropy = self._jitted['_jit_train'](
+            self.params, self.opt_state, jnp.asarray(batch_x), lr)
+        return {'loss': float(np.sqrt(2 * float(loss))), 'ssim': ssim, 'entropy': entropy}
+
+    # -- stats / docs ------------------------------------------------------------------
+
+    def reset_performance_stats(self):
+        self.performance = self._reset_performance(['loss', 'entropy', 'ssim', 'psnr'])
+
+    def compression_stats(self, patch_size=None, n_latent_bytes=None):
+        n_latent_bytes = n_latent_bytes or self._h.latent_bpf / 8
+        ps = patch_size or self.patch_size
+        if ps is None:
+            raise ValueError('Patch size not specified!')
+        n_latent = (ps // 8) * (ps // 8) * self.n_features
+        bitmap_size = ps * ps * 3
+        return {
+            'rate': bitmap_size / (n_latent_bytes * n_latent),
+            'bpp': 8 * n_latent * n_latent_bytes / (ps * ps),
+            'bpf': 8 * n_latent_bytes,
+            'bytes': n_latent * n_latent_bytes,
+        }
+
+    @property
+    def latent_shape(self):
+        if self.patch_size is None:
+            return (None, None, self.n_features)
+        return (self.patch_size // 8, self.patch_size // 8, self.n_features)
+
+    @property
+    def n_latent(self):
+        if self.patch_size is None:
+            return None
+        return int(np.prod(self.latent_shape))
+
+    def summary(self):
+        l_shape = 'x'.join(str(x) for x in self.latent_shape if x is not None)
+        return (f'{self.class_name} : {l_shape}-D latent space @ {self._h.latent_bpf}-bpf '
+                f'[{self.count_parameters():,} params]')
+
+    def summary_compact(self):
+        return f'{self.class_name} {self.latent_shape[-1]}-D'
+
+    @property
+    def model_code(self):
+        code = f'{type(self).__name__}-{self.n_features}C'
+        parts = [self._h.rounding,
+                 f'Q+{self._h.latent_bpf}bpf' if self._h.train_codebook else f'Q-{self._h.latent_bpf}bpf',
+                 'S+' if self._h.scale_latent else 'S-']
+        if self._h.entropy_weight is not None:
+            parts.append(f'H+{self._h.entropy_weight:.2f}')
+        return f'{code}/{"_".join(parts)}'
+
+    def get_hyperparameters(self):
+        h = self._h.to_json()
+        h['n_features'] = self.n_features
+        return h
+
+
+class TwitterDCN(DCN):
+    """Compressive autoencoder of Theis et al. (ref models/compression.py:187)."""
+
+    def construct_model(self, n_features=32, activation='leaky_relu'):
+        self._h.add({
+            'n_features': (32, int, (4, 128)),
+            'activation': ('leaky_relu', str, set(ops.ACTIVATIONS.keys())),
+        })
+        self._h.update(n_features=n_features, activation=activation)
+        self.n_features = self._h.n_features
+        self._encoder = TwitterEncoder(n_features=self._h.n_features,
+                                       activation=self._h.activation)
+        self._decoder = TwitterDecoder(activation=self._h.activation)
