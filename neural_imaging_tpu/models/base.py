@@ -57,7 +57,9 @@ def restore(dir_name, module, key=None, patch_size=None, restore_perf=False,
 
     with open(training_log_path) as f:
         training_log = json.load(f)
-    if key is not None:
+    if key is not None and key in training_log:
+        # workflow logs (training.json) nest each model under its own key;
+        # plain model sidecars keep {model, args} at the top level
         training_log = training_log[key]
 
     parameters = dict(training_log['args'] or {})
