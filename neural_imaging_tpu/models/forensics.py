@@ -1,0 +1,184 @@
+"""
+Image forensics: the FAN manipulation classifier with a constrained residual
+first layer (Bayar & Stamm, extended to RGB).
+
+Capability parity with reference models/forensics.py and the ConstrainedConv2D
+layer (models/layers.py:12-57): the residual filter is re-normalized on every
+forward pass — off-center mass scaled to ``filter_strength`` per output channel and
+the center tap pinned to its negative — so the constraint holds exactly throughout
+training without projection steps.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_imaging_tpu.models.base import TPUModel
+from neural_imaging_tpu.ops import ops
+from neural_imaging_tpu.ops.kernels import center_mask_2dfilter, repeat_2dfilter
+from neural_imaging_tpu.utils import paramspec
+
+
+class ConstrainedConv(nn.Module):
+    """Trainable constrained residual filter (5, 5, 3, 3)."""
+    filter_strength: float = 100.0
+
+    @nn.compact
+    def __call__(self, x):
+        f = np.array([[0, 0, 0, 0, 0],
+                      [0, -1, -2, -1, 0],
+                      [0, -2, 12, -2, 0],
+                      [0, -1, -2, -1, 0],
+                      [0, 0, 0, 0, 0]], dtype=np.float64)
+        init = repeat_2dfilter(f, 3).astype(np.float32)
+        kernel = self.param('kernel',
+                            lambda key, shape, dtype=jnp.float32: jnp.asarray(init), init.shape)
+
+        mask = jnp.asarray(center_mask_2dfilter(5, 3), dtype=kernel.dtype)
+        nf = kernel * (1 - mask)
+        denom = jnp.sum(nf, axis=(0, 1, 2)).reshape(1, 1, 1, 3)
+        nf = self.filter_strength * nf / denom
+        nf = nf - self.filter_strength * mask
+
+        xp = ops.pad2d(x, 2, 'symmetric')
+        return ops.conv2d(xp, nf, padding='VALID')
+
+
+class FANCore(nn.Module):
+    """Constrained conv → N [conv + maxpool] → 1x1 conv → GAP/flatten → FC stack →
+    softmax over n_classes (ref models/forensics.py:62-94)."""
+    n_classes: int = 7
+    n_filters: int = 32
+    n_fscale: float = 2.0
+    n_convolutions: int = 4
+    kernel: int = 5
+    dropout: float = 0.0
+    use_gap: bool = False
+    n_dense: int = 2
+    activation: str = 'leaky_relu'
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        act = ops.ACTIVATIONS[self.activation]
+        h = ConstrainedConv(name='constrained')(x)
+        h = h.astype(self.dtype)
+
+        n_filters = self.n_filters
+        for i in range(self.n_convolutions):
+            h = act(nn.Conv(int(n_filters), (self.kernel, self.kernel),
+                            dtype=self.dtype, name=f'conv{i}')(h))
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            n_filters = int(n_filters * self.n_fscale)
+        n_filters = int(n_filters // self.n_fscale)
+
+        h = act(nn.Conv(int(n_filters), (1, 1), dtype=self.dtype, name='proj')(h))
+
+        if self.use_gap:
+            h = jnp.mean(h, axis=(1, 2))
+        else:
+            h = h.reshape(h.shape[0], -1)
+
+        for i in range(self.n_dense):
+            n_filters = int(n_filters // self.n_fscale)
+            h = act(nn.Dense(int(n_filters), dtype=self.dtype, name=f'dense{i}')(h))
+            if self.dropout > 0:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        logits = nn.Dense(self.n_classes, dtype=self.dtype, name='head')(h)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def sparse_categorical_crossentropy(labels, probabilities):
+    """CE over probabilities (tf.keras.losses.SparseCategoricalCrossentropy parity)."""
+    p = jnp.clip(probabilities, 1e-7, 1.0)
+    picked = jnp.take_along_axis(p, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    return -jnp.mean(jnp.log(picked))
+
+
+class FAN(TPUModel):
+    """Forensic analysis network shell."""
+
+    def __init__(self, n_classes, patch_size=None, n_filters=32, n_fscale=2,
+                 n_convolutions=4, kernel=5, dropout=0.0, use_gap=True, n_dense=0,
+                 activation='leaky_relu'):
+        super().__init__()
+        self._h = paramspec.ParamSpec({
+            'n_classes': (7, int, (2, 256)),
+            'n_filters': (32, int, (4, 128)),
+            'n_fscale': (2.0, float, (0.25, 4)),
+            'n_convolutions': (4, int, (1, 32)),
+            'kernel': (5, int, (3, 11)),
+            'dropout': (0.0, float, (0, 1)),
+            'use_gap': (False, bool, None),
+            'n_dense': (2, int, (0, 16)),
+            'activation': ('leaky_relu', str, set(ops.ACTIVATIONS.keys())),
+        })
+        self._h.update(n_classes=n_classes, n_filters=n_filters, n_fscale=n_fscale,
+                       n_convolutions=n_convolutions, kernel=kernel, dropout=dropout,
+                       use_gap=use_gap, n_dense=n_dense, activation=activation)
+        self.patch_size = patch_size
+        self._module = FANCore(
+            n_classes=self._h.n_classes, n_filters=self._h.n_filters,
+            n_fscale=self._h.n_fscale, n_convolutions=self._h.n_convolutions,
+            kernel=self._h.kernel, dropout=self._h.dropout, use_gap=self._h.use_gap,
+            n_dense=self._h.n_dense, activation=self._h.activation)
+        self._init_params()
+        self.init_optimizer()
+
+    def _init_params(self, seed=0):
+        p = self.patch_size or 128
+        dummy = jnp.zeros((1, p, p, 3), dtype=jnp.float32)
+        self.params = self._module.init(jax.random.PRNGKey(seed), dummy)['params']
+
+    def _apply(self, params, batch_x, train=False):
+        return self._module.apply({'params': params}, batch_x, train=train)
+
+    def loss(self, target_labels, class_probabilities):
+        return sparse_categorical_crossentropy(jnp.asarray(target_labels),
+                                               class_probabilities)
+
+    def process(self, batch_x, training=False):
+        """Class probabilities for an image batch (N, h, w, 3)."""
+        if '_jit_apply' not in self._jitted:
+            self._jitted['_jit_apply'] = jax.jit(self._apply)
+        return self._jitted['_jit_apply'](self.params, jnp.asarray(batch_x, jnp.float32))
+
+    def process_and_decide(self, batch_x, with_confidence=False):
+        probs = np.asarray(self.process(batch_x))
+        if with_confidence:
+            return probs.argmax(axis=1), probs.max(axis=1)
+        return probs.argmax(axis=1)
+
+    def training_step(self, batch_x, target_labels, learning_rate=None):
+        if '_jit_train' not in self._jitted:
+            def step(params, opt_state, x, labels, lr):
+                def loss_of(p):
+                    return self.loss(labels, self._apply(p, x, train=True))
+                loss, grads = jax.value_and_grad(loss_of)(params)
+                params, opt_state = self.optimizer_update(grads, opt_state, params, lr)
+                return params, opt_state, loss
+            self._jitted['_jit_train'] = jax.jit(step, donate_argnums=(0, 1))
+        lr = jnp.float32(1e-4 if learning_rate is None else learning_rate)
+        self.params, self.opt_state, loss = self._jitted['_jit_train'](
+            self.params, self.opt_state, jnp.asarray(batch_x, jnp.float32),
+            jnp.asarray(target_labels), lr)
+        return loss
+
+    def reset_performance_stats(self):
+        self.performance = {
+            'loss': {'training': [], 'validation': []},
+            'accuracy': {'validation': []},
+            'confusion': [],
+        }
+
+    @property
+    def model_code(self):
+        return (f'FAN_{self._h.n_classes}x{self._h.n_filters}'
+                f'x{self._h.n_convolutions}C_{self._h.kernel}x{self._h.kernel}')
+
+    def summary(self):
+        return ('{k}x{k} CNN: 1+{conv}+1 conv layers {gap}+ {fc} fc layers '
+                '[{params:,} parameters]').format(
+            k=self._h.kernel, conv=self._h.n_convolutions, fc=self._h.n_dense,
+            gap='+ (GAP) ' if self._h.use_gap else '', params=self.count_parameters())

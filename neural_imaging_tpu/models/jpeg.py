@@ -38,6 +38,14 @@ def is_valid_quality(quality):
     return False
 
 
+def jpeg_qtable_traced(quality, channel=0):
+    """IJG quantization table from a *traced* quality scalar (in-graph)."""
+    quality = jnp.clip(quality, 1.0, 100.0)
+    scale = jnp.where(quality < 50.0, 5000.0 / quality, 200.0 - 2.0 * quality)
+    t = jnp.asarray(jpeg_helpers.K1_LUMA if channel == 0 else jpeg_helpers.K2_CHROMA)
+    return jnp.clip(jnp.floor((t * scale + 50.0) / 100.0), 1.0, 255.0)
+
+
 @functools.partial(jax.jit, static_argnames=('rounding', 'taylor_terms'))
 def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5):
     """

@@ -110,6 +110,75 @@ def residual(x, hsv=False):
     return y
 
 
+# ----------------------------------------------------------------------------------
+# Traced-strength variants: filters are built with jnp from a *traced* scalar, so a
+# jitted workflow can randomize strengths per step without recompilation. (The
+# reference randomizes on the host and re-runs eagerly,
+# workflows/manipulation_classification.py:199-208.)
+# ----------------------------------------------------------------------------------
+
+def sharpen_traced(x, strength, hsv=True):
+    """Sharpen with a traced strength scalar."""
+    base = jnp.array([[-0.0833, -0.1667, -0.0833],
+                      [-0.1667, 0.0, -0.1667],
+                      [-0.0833, -0.1667, -0.0833]], dtype=x.dtype)
+    gk = strength * base / jnp.abs(base.sum())
+    gk = gk.at[1, 1].set(strength + 1.0)
+    eye3 = jnp.eye(3, dtype=x.dtype)
+    gfilter = gk[:, :, None, None] * eye3[None, None, :, :]
+    if hsv:
+        ident = jnp.zeros((3, 3), dtype=x.dtype).at[2, 2].set(1.0)
+        gfilter = gfilter.at[:, :, 1, 1].set(ident)
+    y = ops.pad2d(x, 1, 'symmetric')
+    if hsv:
+        y = color.rgb_to_hsv(y)
+    y = ops.conv2d(y, gfilter, padding='VALID')
+    if hsv:
+        y = color.hsv_to_rgb(y)
+    return jnp.clip(y, 0, 1)
+
+
+def gaussian_traced(x, std, kernel=5):
+    """Gaussian blur with a traced std scalar (static kernel size)."""
+    coords = jnp.arange(kernel, dtype=x.dtype) - (kernel - 1) / 2.0
+    g1 = jnp.exp(-0.5 * (coords / std) ** 2)
+    g2 = jnp.outer(g1, g1)
+    g2 = g2 / g2.sum()
+    eye3 = jnp.eye(3, dtype=x.dtype)
+    gfilter = g2[:, :, None, None] * eye3[None, None, :, :]
+    y = ops.conv2d(ops.pad2d(x, kernel // 2, 'reflect'), gfilter, padding='VALID')
+    return jnp.clip(y, 0, 1)
+
+
+def resample_switch(x, index, candidates):
+    """Resample selected from static candidate factors via lax.switch (each branch
+    has its own static intermediate shape)."""
+    branches = [lambda v, f=f: resample(v, f) for f in candidates]
+    return jax.lax.switch(index, branches, x)
+
+
+def median_switch(x, index, candidates):
+    """Median filter selected from static candidate kernel sizes via lax.switch."""
+    branches = [lambda v, k=k: median(v, k) for k in candidates]
+    return jax.lax.switch(index, branches, x)
+
+
+def jpeg_traced(x, quality):
+    """Differentiable JPEG with a traced quality scalar (qtables built in-graph)."""
+    from neural_imaging_tpu.models.jpeg import jpeg_forward, jpeg_qtable_traced
+    y, _ = jpeg_forward(x, jpeg_qtable_traced(quality, 0), jpeg_qtable_traced(quality, 1))
+    return y
+
+
+TRACED_MANIPULATIONS = {
+    'sharpen': lambda x, s, key=None: sharpen_traced(x, s, hsv=True),
+    'gaussian': lambda x, s, key=None: gaussian_traced(x, s, 5),
+    'jpeg': lambda x, s, key=None: jpeg_traced(x, s),
+    'awgn': lambda x, s, key=None: awgn(x, s / 255.0, key),
+    'gamma': lambda x, s, key=None: gamma(x, s),
+}
+
+
 # Registry used by the manipulation-classification workflow. Each entry maps
 # (x, strength, key) → manipulated image; default strengths / randomization ranges
 # follow the reference workflow (workflows/manipulation_classification.py:80-90).

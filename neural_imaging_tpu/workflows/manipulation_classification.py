@@ -1,0 +1,424 @@
+"""
+The joint acquisition → manipulation → distribution → forensics workflow.
+
+Capability parity with reference workflows/manipulation_classification.py:
+
+    raw → (nip) → rgb → (K manipulations) → [downsample] → (codec) → (fan) → probs
+
+TPU-first design: the ENTIRE chain — ISP, (K+1)-way batch expansion, differentiable
+manipulations, channel, FAN, the combined loss and the Adam update — is ONE jitted
+program. Randomized JPEG quality and manipulation strengths enter as traced scalars
+(qtables built in-graph), so per-step randomization never recompiles; the reference
+instead re-ran an eager graph per step with host-side table swaps.
+
+The reference constructor reads raw ``distribution``/``trainable`` arguments where
+it means the sanitized members (workflows/manipulation_classification.py:136-154,
+noted in SURVEY.md §2.8); this build uses the sanitized values.
+"""
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
+from neural_imaging_tpu.models import forensics, jpeg as jpeg_models, pipelines
+from neural_imaging_tpu.models.forensics import sparse_categorical_crossentropy
+from neural_imaging_tpu.ops import manipulations as manips
+from neural_imaging_tpu.ops import ops
+from neural_imaging_tpu.utils.utils import logger
+
+N_STRENGTH_CANDIDATES = 8
+
+
+class ManipulationClassification:
+
+    def __init__(self, nip_model, manipulations=None, distribution=None, fan_args=None,
+                 trainable=None, raw_patch_size=128, loss_metric='L2', rng_seed=0):
+        """
+        :param nip_model: '<nip class>[:dirname]' — NIP class + optional pretrained dir
+        :param manipulations: list of '<name>[:strength]' specs
+        :param distribution: {'downsampling': 'pool:2'|'bilinear'|'none',
+                              'compression': 'jpeg'|'dcn'|'none',
+                              'compression_params': {...}}
+        :param trainable: iterable of components to fine-tune; FAN always included
+        :param raw_patch_size: RAW patch size (RGB patches are twice as large)
+        :param loss_metric: NIP loss metric (L2 / L1 / SSIM)
+        """
+        if raw_patch_size < 16 or raw_patch_size > 512:
+            raise ValueError(f'The patch size ({raw_patch_size}) looks incorrect')
+
+        self._trainable = set() if trainable is None else set(trainable)
+        self._trainable.add('fan')
+        self.raw_patch_size = raw_patch_size
+        self._rng = np.random.default_rng(rng_seed)
+        self._key = jax.random.PRNGKey(rng_seed)
+
+        self._distribution = {
+            'downsampling': 'pool:2',
+            'compression': 'jpeg',
+            'compression_params': {'quality': 50, 'codec': 'soft'},
+        }
+        if distribution is not None:
+            self._distribution.update(distribution)
+
+        # -- NIP -----------------------------------------------------------------
+        if ':' in nip_model:
+            nip_model, nip_pretrained = nip_model.split(':')
+        else:
+            logger.warning('NIP model weights not specified — no weights loaded.')
+            nip_pretrained = None
+
+        if not (hasattr(pipelines, nip_model)
+                and issubclass(getattr(pipelines, nip_model), pipelines.NIPModel)):
+            raise ValueError(f'Invalid NIP model ({nip_model})! '
+                             f'Available: {pipelines.supported_models}')
+        if loss_metric not in ('L2', 'L1', 'SSIM'):
+            raise ValueError(f'Invalid loss metric ({loss_metric})!')
+
+        self.nip = getattr(pipelines, nip_model)(loss_metric=loss_metric,
+                                                 patch_size=raw_patch_size)
+        if nip_pretrained is not None:
+            self.nip.load_model(nip_pretrained)
+            logger.info('Loaded NIP weights from %s', nip_pretrained)
+
+        # -- manipulations -------------------------------------------------------
+        manipulations = manipulations or ['sharpen', 'resample', 'gaussian', 'jpeg']
+        self._strengths = dict(manips.DEFAULT_STRENGTHS)
+        self._strengths_range = dict(manips.STRENGTH_RANGES)
+
+        requested = []
+        for m in manipulations:
+            spec = m.split(':')
+            if spec[0] not in self._strengths:
+                raise ValueError(f'Unsupported manipulation {spec[0]}! '
+                                 f'Available: {sorted(self._strengths)}')
+            if spec[0] not in requested:
+                requested.append(spec[0])
+            if len(spec) > 1:
+                self._strengths[spec[0]] = float(spec[-1])
+
+        # keep the reference's canonical class ordering
+        canonical = ['sharpen', 'resample', 'gaussian', 'jpeg', 'awgn', 'gamma', 'median']
+        self._operations = OrderedDict(
+            (name, manips.MANIPULATIONS[name]) for name in canonical if name in requested)
+        self._forensics_classes = ['native'] + [
+            f'{name}:{self._strengths[name]:g}' for name in self._operations]
+
+        # candidate strengths for in-graph randomization (lax.switch / traced scalars)
+        self._strength_candidates = {
+            name: np.linspace(*self._strengths_range[name], N_STRENGTH_CANDIDATES)
+            for name in self._operations}
+
+        # -- channel -------------------------------------------------------------
+        compression = self._distribution['compression']
+        if compression == 'jpeg':
+            self.codec = jpeg_models.JPEG(**self._distribution.get('compression_params', {}))
+        elif compression == 'dcn':
+            from neural_imaging_tpu.compression import codec as codec_mod
+            self.codec = codec_mod.restore(
+                self._distribution['compression_params']['dirname'],
+                patch_size=2 * raw_patch_size // self.downsampling_factor)
+        elif compression == 'none':
+            self.codec = None
+        else:
+            raise ValueError(f'Unsupported channel compression {compression}')
+
+        if 'dcn' in self._trainable and (self.codec is None or
+                                         not hasattr(self.codec, '_apply')):
+            raise ValueError('The current codec does not appear to be trainable!')
+
+        # -- FAN -----------------------------------------------------------------
+        fan_input_patch = 2 * raw_patch_size // self.downsampling_factor
+        self.fan = forensics.FAN(n_classes=self.n_classes, patch_size=fan_input_patch,
+                                 **(fan_args or {}))
+
+        # -- joint optimizer over the trainable partition ------------------------
+        import optax
+        self._tx = optax.scale_by_adam()
+        self.params = self._collect_params()
+        self.opt_state = self._tx.init(self._train_partition(self.params))
+        self._jitted = {}
+
+    # ------------------------------------------------------------------ properties
+
+    @property
+    def n_classes(self):
+        return len(self._operations) + 1
+
+    @property
+    def downsampling_factor(self):
+        ds = self._distribution['downsampling']
+        if ds == 'none':
+            return 1
+        if ':' in ds:
+            return int(ds.split(':')[-1])
+        return 2
+
+    def _collect_params(self):
+        params = {'fan': self.fan.params, 'nip': self.nip.params}
+        if self._distribution['compression'] == 'dcn':
+            params['dcn'] = self.codec.params
+        elif (self._distribution['compression'] == 'jpeg'
+              and getattr(self.codec, 'trainable', False)):
+            params['dcn'] = self.codec._model.params
+        return params
+
+    def _train_partition(self, params):
+        return {k: v for k, v in params.items() if k in self._trainable}
+
+    def _frozen_partition(self, params):
+        return {k: v for k, v in params.items() if k not in self._trainable}
+
+    # ------------------------------------------------------------------ pure graph
+
+    def _nip_apply(self, nip_params, batch_x):
+        return self.nip._apply(nip_params, batch_x)
+
+    def _fan_apply(self, fan_params, batch_C):
+        return self.fan._apply(fan_params, batch_C)
+
+    def _manipulate(self, batch_Y, key, strength_scalars=None, strength_indices=None):
+        """(K+1)-way batch expansion: [native] + each manipulation. Randomized
+        strengths come in as traced scalars / switch indices."""
+        y_list = [batch_Y]
+        for i, name in enumerate(self._operations):
+            key, sub = jax.random.split(key)
+            if strength_scalars is None:
+                s = self._strengths[name]
+                y_list.append(manips.MANIPULATIONS[name](batch_Y, s, sub))
+            else:
+                if name in manips.TRACED_MANIPULATIONS:
+                    y_list.append(manips.TRACED_MANIPULATIONS[name](
+                        batch_Y, strength_scalars[i], sub))
+                elif name == 'resample':
+                    cands = [int(c) for c in self._strength_candidates[name]]
+                    y_list.append(manips.resample_switch(batch_Y, strength_indices[i], cands))
+                elif name == 'median':
+                    cands = sorted({int(c) | 1 for c in self._strength_candidates[name]})
+                    y_list.append(manips.median_switch(
+                        batch_Y, jnp.clip(strength_indices[i], 0, len(cands) - 1), cands))
+        return jnp.concatenate(y_list, axis=0)
+
+    def _downsample(self, batch):
+        ds = self._distribution['downsampling']
+        factor = self.downsampling_factor
+        if ds.startswith('pool'):
+            return ops.avg_pool(batch, factor)
+        if ds == 'bilinear':
+            return ops.resize_bilinear(batch, batch.shape[1] // factor,
+                                       batch.shape[2] // factor)
+        if ds == 'none':
+            return batch
+        raise ValueError(f'Unsupported channel down-sampling {ds}')
+
+    def _compress(self, params, batch, q_luma=None, q_chroma=None):
+        """Returns (compressed_batch, entropy)."""
+        compression = self._distribution['compression']
+        if compression == 'jpeg':
+            if 'dcn' in params:  # trainable qtables
+                y, _ = self.codec._model(batch, params=params['dcn'])
+            else:
+                y, _ = jpeg_models.jpeg_forward(batch, q_luma, q_chroma,
+                                                rounding=self.codec.codec
+                                                if self.codec.codec != 'libjpeg' else 'soft')
+            return y, jnp.float32(0.0)
+        if compression == 'dcn':
+            return self.codec._apply(params['dcn'], batch)
+        return batch, jnp.float32(0.0)
+
+    def _forward(self, params, batch_x, key, q_luma, q_chroma,
+                 strength_scalars=None, strength_indices=None):
+        batch_Y = self._nip_apply(params['nip'], batch_x)
+        batch_m = self._manipulate(batch_Y, key, strength_scalars, strength_indices)
+        batch_c = self._downsample(batch_m)
+        batch_C, entropy = self._compress(params, batch_c, q_luma, q_chroma)
+        probabilities = self._fan_apply(params['fan'], batch_C)
+        return batch_Y, batch_c, batch_C, entropy, probabilities
+
+    def _losses(self, params, batch_x, batch_y, key, q_luma, q_chroma,
+                lambda_nip, lambda_dcn, strength_scalars=None, strength_indices=None):
+        batch_Y, batch_c, batch_C, entropy, probs = self._forward(
+            params, batch_x, key, q_luma, q_chroma, strength_scalars, strength_indices)
+
+        batch_size = batch_x.shape[0]
+        labels = jnp.repeat(jnp.arange(self.n_classes), batch_size)
+        loss_ce = sparse_categorical_crossentropy(labels, probs)
+        loss_nip = (self.nip.loss(batch_y, batch_Y)
+                    if batch_y is not None else jnp.float32(0.0))
+        if self.codec is not None:
+            loss_dcn = self.codec.loss(batch_c, batch_C, entropy)
+        else:
+            loss_dcn = jnp.float32(0.0)
+
+        loss = loss_ce
+        if 'nip' in self._trainable:
+            loss = loss + lambda_nip * loss_nip
+        if 'dcn' in self._trainable:
+            loss = loss + lambda_dcn * loss_dcn
+        return loss, {'ce': loss_ce, 'nip': loss_nip, 'dcn': loss_dcn}
+
+    # ------------------------------------------------------------------ public API
+
+    def _channel_qtables(self, quality=None):
+        """Resolve the (possibly randomized) channel JPEG quality to qtables."""
+        if self._distribution['compression'] != 'jpeg' or self.codec is None:
+            z = np.ones((8, 8), dtype=np.float32)
+            return z, z
+        q = self.codec._resolve_quality(quality) if self.codec.quality is not None else 50
+        return jpeg_qtable(q, 0), jpeg_qtable(q, 1)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def run_workflow(self, batch_x, augment=False, training=False):
+        """raw → ... → class probabilities.
+        Returns (batch_Y, batch_c, batch_C, entropy, probabilities)."""
+        if 'forward' not in self._jitted:
+            self._jitted['forward'] = jax.jit(self._forward)
+        ql, qc = self._channel_qtables()
+        return self._jitted['forward'](self.params, jnp.asarray(batch_x, jnp.float32),
+                                       self._next_key(), jnp.asarray(ql), jnp.asarray(qc))
+
+    def run_workflow_to_decisions(self, batch_x):
+        probs = self.run_workflow(batch_x)[-1]
+        return np.asarray(probs).argmax(axis=1)
+
+    def run_manipulations(self, batch_y, randomize=False, override=None):
+        key = self._next_key()
+        batch_y = jnp.asarray(batch_y, jnp.float32)
+        if randomize:
+            scalars, indices = self._sample_strengths()
+            return self._manipulate(batch_y, key, scalars, indices)
+        if override is not None:
+            y_list = [batch_y]
+            for name in self._operations:
+                key, sub = jax.random.split(key)
+                y_list.append(manips.MANIPULATIONS[name](batch_y, override[name], sub))
+            return jnp.concatenate(y_list, axis=0)
+        return self._manipulate(batch_y, key)
+
+    def run_downsampling(self, batch_y):
+        return self._downsample(jnp.asarray(batch_y, jnp.float32))
+
+    def run_compression(self, batch_y, return_entropy=False):
+        ql, qc = self._channel_qtables()
+        out, entropy = self._compress(self.params, jnp.asarray(batch_y, jnp.float32),
+                                      jnp.asarray(ql), jnp.asarray(qc))
+        return (out, entropy) if return_entropy else out
+
+    def run_rgb_to_fan(self, batch_Y):
+        batch_m = self.run_manipulations(batch_Y)
+        batch_c = self.run_downsampling(batch_m)
+        return np.asarray(self.run_compression(batch_c))
+
+    def run_rgb_to_probabilities(self, batch_Y):
+        batch_C = self.run_rgb_to_fan(batch_Y)
+        return np.asarray(self._fan_apply(self.params['fan'], jnp.asarray(batch_C)))
+
+    def _batch_labels(self, batch_size):
+        return np.repeat(np.arange(self.n_classes, dtype=np.int32), batch_size)
+
+    def _sample_strengths(self):
+        scalars = np.zeros(len(self._operations), dtype=np.float32)
+        indices = np.zeros(len(self._operations), dtype=np.int32)
+        for i, name in enumerate(self._operations):
+            lo, hi = self._strengths_range[name]
+            scalars[i] = self._rng.uniform(lo, hi)
+            indices[i] = self._rng.integers(0, N_STRENGTH_CANDIDATES)
+        return jnp.asarray(scalars), jnp.asarray(indices)
+
+    def training_step(self, batch_x, batch_y, lambda_nip=0, lambda_dcn=0,
+                      augment=False, learning_rate=1e-4):
+        """One jitted step over the whole chain. Returns (loss, {'ce','nip','dcn'})."""
+        cache_key = ('train', augment, batch_y is not None)
+        if cache_key not in self._jitted:
+            def step(tparams, fparams, opt_state, batch_x, batch_y, key, ql, qc,
+                     l_nip, l_dcn, lr, scalars, indices):
+                def loss_of(tp):
+                    params = {**fparams, **tp}
+                    return self._losses(params, batch_x, batch_y, key, ql, qc,
+                                        l_nip, l_dcn,
+                                        scalars if augment else None,
+                                        indices if augment else None)
+                (loss, parts), grads = jax.value_and_grad(loss_of, has_aux=True)(tparams)
+                finite = jnp.all(jnp.asarray(
+                    [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+                updates, opt_state = self._tx.update(grads, opt_state, tparams)
+                updates = jax.tree.map(lambda u: -lr * u, updates)
+                import optax
+                tparams = optax.apply_updates(tparams, updates)
+                return tparams, opt_state, loss, parts, finite
+            self._jitted[cache_key] = jax.jit(step, donate_argnums=(0, 2))
+
+        ql, qc = self._channel_qtables()
+        scalars, indices = self._sample_strengths()
+        tparams = self._train_partition(self.params)
+        fparams = self._frozen_partition(self.params)
+        by = None if batch_y is None else jnp.asarray(batch_y, jnp.float32)
+
+        tparams, self.opt_state, loss, parts, finite = self._jitted[cache_key](
+            tparams, fparams, self.opt_state, jnp.asarray(batch_x, jnp.float32), by,
+            self._next_key(), jnp.asarray(ql), jnp.asarray(qc),
+            jnp.float32(lambda_nip), jnp.float32(lambda_dcn), jnp.float32(learning_rate),
+            scalars, indices)
+
+        if not bool(finite):
+            raise RuntimeError('∇ NaNs encountered in the joint training step')
+
+        self.params = {**fparams, **tparams}
+        self._push_params_to_models()
+        return loss, parts
+
+    def _push_params_to_models(self):
+        """Keep the component shells in sync so their save/validate APIs see the
+        jointly-trained parameters."""
+        self.fan.params = self.params['fan']
+        self.nip.params = self.params['nip']
+        if self._distribution['compression'] == 'dcn' and 'dcn' in self.params:
+            self.codec.params = self.params['dcn']
+        elif (self._distribution['compression'] == 'jpeg' and 'dcn' in self.params):
+            self.codec._model.params = self.params['dcn']
+
+    # ------------------------------------------------------------------ summaries
+
+    def is_trainable(self, model):
+        return model in self._trainable
+
+    @property
+    def trainable_models(self):
+        return tuple(self._trainable)
+
+    def summary_compact(self):
+        return '{cls}[{tr}]: {nip} -> [{mn}] {pool}{codec}-> FAN'.format(
+            cls=type(self).__name__, nip=self.nip.class_name,
+            mn=''.join(x[0] for x in self._forensics_classes),
+            tr=''.join(x[0] for x in self.trainable_models),
+            pool='' if self._distribution['downsampling'] == 'none'
+                 else '-> {} '.format(self._distribution['downsampling']),
+            codec='' if self.codec is None else '-> {} '.format(self.codec.summary_compact()))
+
+    def summary(self):
+        return ('{cls}[opt={tr}]: {inp} -> {nip} -> {n} manipulations [{mn}] '
+                '{pool}{codec}-> FAN -> (prob. {k} classes)').format(
+            cls=type(self).__name__,
+            inp='(rgb)' if self.nip.in_channels == 3 else '(raw)',
+            nip=self.nip.class_name, n=self.n_classes - 1,
+            mn=''.join(x[0] for x in self._forensics_classes),
+            tr=''.join(x[0] for x in self.trainable_models),
+            pool='' if self._distribution['downsampling'] == 'none'
+                 else '-> {} '.format(self._distribution['downsampling']),
+            codec='' if self.codec is None else '-> {} '.format(self.codec.summary_compact()),
+            k=self.n_classes)
+
+    def details(self):
+        out = [self.summary()]
+        out.append('Input         : raw patch {} {}'.format(
+            self.raw_patch_size, '(rgb)' if self.nip.in_channels == 3 else '(raw)'))
+        out.append('Camera ISP    : {}'.format(self.nip.summary()))
+        out.append('Manipulations : {} -> {}'.format(self.n_classes, self._forensics_classes))
+        out.append('Downsampling  : {}'.format(self._distribution['downsampling']))
+        out.append('Codec         : {}'.format('' if self.codec is None else self.codec.summary()))
+        out.append('Forensics     : {}'.format(self.fan.summary()))
+        return '\n'.join(out)

@@ -1,0 +1,149 @@
+"""Tests for the joint manipulation-classification workflow."""
+import numpy as np
+import pytest
+
+from neural_imaging_tpu.workflows import ManipulationClassification
+
+
+@pytest.fixture(scope='module')
+def batch():
+    rng = np.random.default_rng(11)
+    bx = rng.random((2, 16, 16, 4)).astype(np.float32)
+    by = rng.random((2, 32, 32, 3)).astype(np.float32)
+    return bx, by
+
+
+@pytest.fixture(scope='module')
+def flow():
+    return ManipulationClassification(
+        'INet', manipulations=['sharpen:1', 'gaussian:1'],
+        distribution={'downsampling': 'none', 'compression': 'none'},
+        fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+        trainable={'nip'}, raw_patch_size=16)
+
+
+class TestConstruction:
+    def test_classes(self, flow):
+        assert flow.n_classes == 3
+        assert flow._forensics_classes == ['native', 'sharpen:1', 'gaussian:1']
+        assert set(flow.trainable_models) == {'fan', 'nip'}
+
+    def test_default_distribution(self):
+        f = ManipulationClassification(
+            'INet', manipulations=['sharpen'], raw_patch_size=16,
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1})
+        assert f.downsampling_factor == 2
+        assert f.codec is not None and f.codec.quality == 50
+
+    def test_invalid_nip(self):
+        with pytest.raises((ValueError, AttributeError)):
+            ManipulationClassification('NopeNet', raw_patch_size=16)
+
+    def test_invalid_manipulation(self):
+        with pytest.raises(ValueError):
+            ManipulationClassification('INet', manipulations=['warp'], raw_patch_size=16)
+
+    def test_patch_size_guard(self):
+        with pytest.raises(ValueError):
+            ManipulationClassification('INet', raw_patch_size=8)
+
+    def test_summaries(self, flow):
+        assert 'INet' in flow.summary()
+        assert 'FAN' in flow.summary_compact()
+        assert 'Manipulations : 3' in flow.details()
+
+
+class TestForward:
+    def test_run_workflow_shapes(self, flow, batch):
+        bx, _ = batch
+        Y, c, C, entropy, probs = flow.run_workflow(bx)
+        assert np.asarray(Y).shape == (2, 32, 32, 3)
+        assert np.asarray(c).shape == (6, 32, 32, 3)   # (K+1) * batch
+        assert np.asarray(C).shape == (6, 32, 32, 3)
+        assert np.asarray(probs).shape == (6, 3)
+        assert np.allclose(np.asarray(probs).sum(axis=1), 1, atol=1e-5)
+
+    def test_decisions(self, flow, batch):
+        bx, _ = batch
+        decisions = flow.run_workflow_to_decisions(bx)
+        assert decisions.shape == (6,)
+        assert ((decisions >= 0) & (decisions < 3)).all()
+
+    def test_labels(self, flow):
+        assert np.array_equal(flow._batch_labels(2), [0, 0, 1, 1, 2, 2])
+
+    def test_manipulations_expand_batch(self, flow, batch):
+        _, by = batch
+        out = np.asarray(flow.run_manipulations(by))
+        assert out.shape == (6, 32, 32, 3)
+        assert np.allclose(out[:2], by)  # first copy is native
+
+    def test_randomized_manipulations(self, flow, batch):
+        _, by = batch
+        a = np.asarray(flow.run_manipulations(by, randomize=True))
+        b = np.asarray(flow.run_manipulations(by, randomize=True))
+        assert a.shape == (6, 32, 32, 3)
+        assert not np.allclose(a[2:], b[2:])  # different random strengths
+
+
+class TestChannels:
+    def test_jpeg_channel(self, batch):
+        bx, _ = batch
+        f = ManipulationClassification(
+            'INet', manipulations=['sharpen'],
+            distribution={'downsampling': 'pool:2', 'compression': 'jpeg',
+                          'compression_params': {'quality': 60, 'codec': 'soft'}},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+            raw_patch_size=16)
+        Y, c, C, entropy, probs = f.run_workflow(bx)
+        assert np.asarray(c).shape == (4, 16, 16, 3)  # downsampled by 2
+        assert np.asarray(probs).shape == (4, 2)
+
+    def test_bilinear_downsampling(self, batch):
+        bx, _ = batch
+        f = ManipulationClassification(
+            'INet', manipulations=['sharpen'],
+            distribution={'downsampling': 'bilinear', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+            raw_patch_size=16)
+        _, c, *_ = f.run_workflow(bx)
+        assert np.asarray(c).shape == (4, 16, 16, 3)
+
+
+class TestTraining:
+    def test_training_step_runs_and_syncs(self, flow, batch):
+        bx, by = batch
+        loss, parts = flow.training_step(bx, by, lambda_nip=0.1)
+        assert np.isfinite(float(loss))
+        assert set(parts) == {'ce', 'nip', 'dcn'}
+        # shells see the updated params
+        assert flow.fan.params is flow.params['fan']
+
+    def test_fan_learns_identity_vs_blur(self):
+        """Joint training should separate native from a strong gaussian blur."""
+        rng = np.random.default_rng(0)
+        f = ManipulationClassification(
+            'ONet', manipulations=['gaussian:3'],
+            distribution={'downsampling': 'none', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 16, 'n_dense': 1},
+            raw_patch_size=16)
+        bx = rng.random((8, 32, 32, 3)).astype(np.float32)
+        for i in range(120):
+            loss, _ = f.training_step(bx, bx, learning_rate=2e-3)
+        decisions = f.run_workflow_to_decisions(bx)
+        labels = f._batch_labels(8)
+        accuracy = np.mean(decisions == labels)
+        assert accuracy > 0.85, f'accuracy {accuracy}'
+
+    def test_augmented_training_step(self, flow, batch):
+        bx, by = batch
+        loss, _ = flow.training_step(bx, by, augment=True)
+        assert np.isfinite(float(loss))
+
+    def test_trainable_dcn_guard(self):
+        with pytest.raises(ValueError):
+            ManipulationClassification(
+                'INet', manipulations=['sharpen'],
+                distribution={'downsampling': 'none', 'compression': 'none'},
+                trainable={'dcn'}, raw_patch_size=16,
+                fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1})
