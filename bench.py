@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""
+Benchmark: the flagship joint manipulation-classification training step
+(NIP → 5-way manipulation expansion → pool:2 → dJPEG(50) → FAN, NIP+FAN trainable)
+at the reference's default scale (batch 20, raw patch 128 → FAN sees 100 patches of
+128x128), on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); `vs_baseline` is
+computed against REFERENCE_STEPS_PER_SEC — an estimate of the TF2-GPU baseline for
+the same configuration (single consumer GPU, eager-ish TF2 with per-step host
+round-trips; the north-star target is ≥5x this, BASELINE.md §north-star).
+"""
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_STEPS_PER_SEC = 2.0  # estimated TF2-GPU baseline (see module docstring)
+
+BATCH = 20
+RAW_PATCH = 64  # RGB patches 128x128 after the ISP; FAN sees (K+1)*20 patches
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from neural_imaging_tpu.workflows import ManipulationClassification
+
+    flow = ManipulationClassification(
+        'INet',
+        manipulations=['sharpen', 'resample', 'gaussian', 'jpeg'],
+        distribution={'downsampling': 'pool:2', 'compression': 'jpeg',
+                      'compression_params': {'quality': 50, 'codec': 'soft'}},
+        fan_args={},
+        trainable={'nip'},
+        raw_patch_size=RAW_PATCH)
+
+    rng = np.random.default_rng(0)
+    bx = rng.random((BATCH, RAW_PATCH, RAW_PATCH, 4), dtype=np.float64).astype(np.float32)
+    by = rng.random((BATCH, 2 * RAW_PATCH, 2 * RAW_PATCH, 3), dtype=np.float64).astype(np.float32)
+    bx = jax.device_put(bx)
+    by = jax.device_put(by)
+
+    for _ in range(WARMUP):
+        loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = ITERS / elapsed
+    print(json.dumps({
+        'metric': f'joint NIP+dJPEG+FAN train steps/s (batch {BATCH}, raw patch {RAW_PATCH}, 5 classes)',
+        'value': round(steps_per_sec, 3),
+        'unit': 'steps/s',
+        'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -57,24 +57,39 @@ def procedural_image(height, width, seed=0):
     return np.clip(img, 0, 1)
 
 
-def make_raw_rgb_pair(height, width, seed=0, cfa_pattern='GBRG'):
+def make_raw_rgb_pair(height, width, seed=0, cfa_pattern='GBRG', cam2srgb='example'):
     """
-    Simulate a camera capture: scene RGB → linear → Bayer mosaic → (uint16 RGGB
-    stack, uint8 developed RGB). The RGB target is developed from the mosaic with the
-    scratch pipeline (bilinear demosaic + gamma), so RAW→RGB is a consistent,
-    learnable mapping — the role played by libRAW-developed targets in the reference
-    (train_prepare_training_set.py).
+    Simulate a camera capture: scene RGB → camera color space → linear → Bayer
+    mosaic → (uint16 RGGB stack, uint8 developed RGB). The RGB target is developed
+    from the mosaic with the scratch pipeline (bilinear demosaic → cam2sRGB →
+    gamma), so RAW→RGB is a consistent, learnable mapping — the role played by
+    libRAW-developed targets in the reference (train_prepare_training_set.py).
+
+    By default the synthetic camera uses the EXAMPLE_SRGB color profile, matching
+    the calibrated initialization of INet's color stage (as real camera data
+    matches its calibration in the reference setup).
     """
+    from neural_imaging_tpu.ops.kernels import EXAMPLE_SRGB
+    if isinstance(cam2srgb, str) and cam2srgb == 'example':
+        cam2srgb = EXAMPLE_SRGB
+
     scene = procedural_image(height, width, seed)
-    linear = np.power(scene, 2.2)
-    mosaic = bayer.mosaic_flat(linear, cfa_pattern)
+    if cam2srgb is not None:
+        # scene is defined in sRGB; sample the sensor in camera RGB space
+        cam_linear = np.einsum('ij,hwj->hwi', np.linalg.inv(cam2srgb),
+                               np.power(scene, 2.2))
+        cam_linear = np.clip(cam_linear, 0, 1)
+    else:
+        cam_linear = np.power(scene, 2.2)
+    mosaic = bayer.mosaic_flat(cam_linear, cfa_pattern)
     stack = bayer.stack_bayer(
         np.stack([mosaic * m for m in raw._cfa_masks(mosaic.shape, cfa_pattern)], axis=-1),
         cfa_pattern)
     stack_u16 = np.clip(stack * (2 ** 16 - 1), 0, 2 ** 16 - 1).round().astype(np.uint16)
 
-    developed = raw.develop_mosaic(mosaic, cfa_pattern, cam2srgb=None, brightness=None,
-                                   use_gamma=True, demosaicing='bilinear')
+    developed = raw.develop_mosaic(mosaic, cfa_pattern, cam2srgb=cam2srgb,
+                                   brightness=None, use_gamma=True,
+                                   demosaicing='bilinear')
     rgb_u8 = np.clip(developed * 255, 0, 255).round().astype(np.uint8)
     return stack_u16, rgb_u8
 

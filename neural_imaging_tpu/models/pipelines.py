@@ -65,9 +65,8 @@ class INetCore(nn.Module):
             d1k, d1b, d2k, d2b = gamma_kernels()
             g1k, g1b = d1k.reshape(1, 1, 3, 12), d1b
             g2k, g2b = d2k.reshape(1, 1, 12, 3), d2b
-            srgbk = np.array([[1.82691061, -0.65497452, -0.17193617],
-                              [-0.00683982, 1.33216381, -0.32532394],
-                              [0.06269717, -0.40055895, 1.33786178]]).T.reshape(1, 1, 3, 3)
+            from neural_imaging_tpu.ops.kernels import EXAMPLE_SRGB
+            srgbk = EXAMPLE_SRGB.T.reshape(1, 1, 3, 3)
 
         if self.trainable_upsampling:
             upk = self.param('upsampling', _const_init(upk), upk.shape)

@@ -14,6 +14,13 @@ from scipy import signal
 from neural_imaging_tpu.data.bayer import CFA_OFFSETS, PLANE_RGB, STACK_PLANES
 
 
+# Example camera-RGB → sRGB conversion matrix (rows act on RGB vectors); used to
+# initialize INet's color stage and as the synthetic camera's color profile.
+EXAMPLE_SRGB = np.array([[1.82691061, -0.65497452, -0.17193617],
+                         [-0.00683982, 1.33216381, -0.32532394],
+                         [0.06269717, -0.40055895, 1.33786178]])
+
+
 def upsampling_kernel(cfa_pattern='gbrg'):
     """
     1x1 conv kernel (4 → 12 channels) scattering an RGGB stack into the channel

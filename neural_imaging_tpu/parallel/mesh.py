@@ -1,0 +1,59 @@
+"""
+Device-mesh and sharding helpers.
+
+The reference toolbox is strictly single-device (SURVEY.md §2.9) — this layer is
+new, TPU-native capability. Scale-out model: SPMD data parallelism over the batch
+axis of a 1-D ``('data',)`` mesh (optionally 2-D ``('data', 'space')`` with spatial
+sharding of full-resolution images for inference). Parameters are replicated;
+gradients are reduced with XLA-inserted collectives over ICI — no hand-written
+communication. Model sizes (≤ a few M params) make tensor/pipeline parallelism
+unnecessary for parity (documented out of scope in SURVEY.md §2.9).
+"""
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axes=('data',), devices=None):
+    """Create a Mesh over the first n available devices (1-D by default)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if len(axes) == 1:
+        shape = (n,)
+    elif len(axes) == 2:
+        # favor the data axis; spatial axis gets the residual factor
+        space = 1
+        for cand in (2, 4):
+            if n % cand == 0 and n // cand >= 1:
+                space = cand
+        shape = (n // space, space)
+    else:
+        raise ValueError('Only 1-D or 2-D meshes are supported')
+    return Mesh(np.array(devices).reshape(shape), axes)
+
+
+def batch_sharding(mesh, axis='data'):
+    """NamedSharding that splits the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis='data'):
+    """Place a host batch onto the mesh, split along the leading axis."""
+    return jax.device_put(batch, batch_sharding(mesh, axis))
+
+
+def replicate(tree, mesh):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def spatial_sharding(mesh, axis='space'):
+    """Shard the image height axis of an NHWC tensor (for full-res inference);
+    XLA inserts halo exchanges for the convolution overlaps."""
+    return NamedSharding(mesh, P(None, axis))

