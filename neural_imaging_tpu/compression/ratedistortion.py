@@ -1,0 +1,228 @@
+"""
+Rate-distortion benchmarking: per-image R/D DataFrames for JPEG / JPEG 2000 / BPG /
+learned DCN codecs, CSV caching next to the data, parametric curve fits and
+comparison plots.
+
+Capability parity with reference compression/ratedistortion.py: the same DataFrame
+columns (image_id, filename, codec, quality, ssim, psnr, msssim_db, bytes, bpp) and
+the same fit families (logistic in log-bpp for SSIM, log-linear for PSNR). JPEG 2000
+goes through OpenJPEG via OpenCV (the reference used glymur + jpylyzer); BPG is
+gated on the bpgenc/bpgdec binaries.
+"""
+import io
+import os
+from pathlib import Path
+
+import imageio.v2 as imageio
+import numpy as np
+import pandas as pd
+from scipy.optimize import curve_fit
+
+from neural_imaging_tpu.compression import bpg_helpers, jpeg_helpers
+from neural_imaging_tpu.utils import metrics
+from neural_imaging_tpu.utils.utils import logger
+
+RD_COLUMNS = ['image_id', 'filename', 'codec', 'quality', 'ssim', 'psnr',
+              'msssim_db', 'bytes', 'bpp']
+
+
+def _load_images(directory, files=None):
+    files = files or sorted(f for f in os.listdir(directory)
+                            if f.lower().endswith(('.png', '.bmp', '.ppm')))
+    images = []
+    for f in files:
+        img = imageio.imread(os.path.join(directory, f))
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        images.append(img[..., :3].astype(np.float32) / 255.0)
+    return files, images
+
+
+def _msssim_db(a, b):
+    """MS-SSIM in dB: -10 log10(1 - msssim)."""
+    import jax.numpy as jnp
+    from neural_imaging_tpu.ops import ssim as ssim_ops
+    v = float(ssim_ops.ms_ssim(jnp.asarray(a[None]), jnp.asarray(b[None]))[0])
+    return -10.0 * np.log10(max(1.0 - v, 1e-9))
+
+
+def _row(image_id, filename, codec, quality, original, decoded, nbytes):
+    h, w = original.shape[:2]
+    return {
+        'image_id': image_id, 'filename': filename, 'codec': codec, 'quality': quality,
+        'ssim': metrics.ssim(original, decoded),
+        'psnr': metrics.psnr(original, decoded),
+        'msssim_db': _msssim_db(original, decoded),
+        'bytes': nbytes, 'bpp': 8.0 * nbytes / (h * w),
+    }
+
+
+def _cached(df_fn, directory, cache_name, force=False):
+    cache = os.path.join(directory, cache_name)
+    if os.path.isfile(cache) and not force:
+        logger.info('R/D cache hit: %s', cache)
+        return pd.read_csv(cache)
+    df = df_fn()
+    df.to_csv(cache, index=False)
+    return df
+
+
+def get_jpeg_df(directory, write_files=False, effective_bytes=True, force_calc=False,
+                files=None, qualities=range(10, 96, 5)):
+    """JPEG R/D sweep over a directory of images (libjpeg, 4:4:4)."""
+    def build():
+        names, images = _load_images(directory, files)
+        rows = []
+        for i, (name, img) in enumerate(zip(names, images)):
+            for q in qualities:
+                decoded, nbytes = jpeg_helpers.compress_batch(
+                    img, q, effective=effective_bytes)
+                rows.append(_row(i, name, 'jpeg', q, img, decoded, nbytes))
+        return pd.DataFrame(rows, columns=RD_COLUMNS)
+    return _cached(build, directory, 'jpeg.csv', force_calc)
+
+
+def get_jpeg2k_df(directory, write_files=False, force_calc=False, files=None,
+                  rates=(2, 4, 8, 16, 24, 32, 48, 64, 96, 128)):
+    """JPEG 2000 R/D sweep via OpenJPEG (through OpenCV); quality = compression ratio."""
+    import cv2
+    def build():
+        names, images = _load_images(directory, files)
+        rows = []
+        for i, (name, img) in enumerate(zip(names, images)):
+            u8 = (img * 255).astype(np.uint8)
+            for rate in rates:
+                ok, buf = cv2.imencode('.jp2', cv2.cvtColor(u8, cv2.COLOR_RGB2BGR),
+                                       [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000,
+                                        int(1000 / rate)])
+                if not ok:
+                    continue
+                decoded = cv2.cvtColor(cv2.imdecode(buf, cv2.IMREAD_COLOR),
+                                       cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+                rows.append(_row(i, name, 'jpeg2000', rate, img, decoded, len(buf)))
+        return pd.DataFrame(rows, columns=RD_COLUMNS)
+    return _cached(build, directory, 'jpeg2000.csv', force_calc)
+
+
+def get_bpg_df(directory, write_files=False, force_calc=False, files=None,
+               qualities=range(15, 48, 3)):
+    """BPG R/D sweep (requires bpgenc/bpgdec; returns empty DataFrame otherwise)."""
+    if not bpg_helpers.bpg_available():
+        logger.warning('bpgenc/bpgdec unavailable — skipping the BPG sweep')
+        return pd.DataFrame(columns=RD_COLUMNS)
+    def build():
+        names, images = _load_images(directory, files)
+        rows = []
+        for i, (name, img) in enumerate(zip(names, images)):
+            for q in qualities:
+                decoded, bpp = bpg_helpers.roundtrip(img, q)
+                nbytes = int(bpp * img.shape[0] * img.shape[1] / 8)
+                rows.append(_row(i, name, 'bpg', q, img, decoded, nbytes))
+        return pd.DataFrame(rows, columns=RD_COLUMNS)
+    return _cached(build, directory, 'bpg.csv', force_calc)
+
+
+def get_dcn_df(directory, model_directory, write_files=False, force_calc=False,
+               files=None):
+    """Learned-codec R/D: discovers all trained DCN models (**/progress.json) under
+    model_directory and runs the real bitstream round trip on each image."""
+    from neural_imaging_tpu.compression import codec as codec_mod
+
+    def build():
+        names, images = _load_images(directory, files)
+        model_dirs = sorted({str(p.parent) for p in
+                             Path(model_directory).glob('**/progress.json')})
+        rows = []
+        for mdir in model_dirs:
+            try:
+                dcn = codec_mod.restore(mdir, patch_size=None)
+            except Exception as e:
+                logger.warning('could not restore %s: %s', mdir, e)
+                continue
+            code = dcn.model_code
+            for i, (name, img) in enumerate(zip(names, images)):
+                h = (img.shape[0] // 8) * 8
+                w = (img.shape[1] // 8) * 8
+                crop = img[:h, :w]
+                decoded, nbytes = codec_mod.simulate_compression(crop[None], dcn)
+                rows.append(_row(i, name, code, np.nan, crop, decoded[0], nbytes))
+        return pd.DataFrame(rows, columns=RD_COLUMNS)
+    return _cached(build, directory, 'dcn.csv', force_calc)
+
+
+# ------------------------------------------------------------------------------------
+# Curve fitting + plotting
+# ------------------------------------------------------------------------------------
+
+def fit_logistic(bpp, quality):
+    """SSIM-style fit: logistic curve in log(bpp)."""
+    def fn(x, a, b, c, d):
+        return a / (1 + np.exp(-b * (np.log(x) - c))) + d
+    popt, _ = curve_fit(fn, bpp, quality, p0=(0.5, 2.0, -1.0, 0.5), maxfev=20000,
+                        bounds=([0, 0.1, -5, 0], [1, 20, 5, 1]))
+    return lambda x: fn(x, *popt)
+
+
+def fit_log(bpp, quality):
+    """PSNR-style fit: a log(bpp) + b (optionally quadratic in log-bpp)."""
+    def fn(x, a, b, c):
+        lx = np.log(x)
+        return a * lx + b + c * lx ** 2
+    popt, _ = curve_fit(fn, bpp, quality, p0=(5.0, 30.0, 0.0), maxfev=20000)
+    return lambda x: fn(x, *popt)
+
+
+_FITTERS = {'ssim': fit_logistic, 'msssim_db': fit_log, 'psnr': fit_log}
+
+
+def fit_rd_curve(df, metric='ssim', points=50):
+    """Fit the per-image R/D samples of one codec; returns (bpp_grid, fitted)."""
+    df = df.dropna(subset=[metric, 'bpp'])
+    bpp, quality = df['bpp'].values, df[metric].values
+    lo, hi = np.percentile(bpp, 1), np.percentile(bpp, 99)
+    grid = np.geomspace(max(lo, 1e-3), hi, points)
+    fitted = _FITTERS[metric](bpp, quality)(grid)
+    return grid, fitted
+
+
+def plot_curve(dfs, axes=None, metric='ssim', title=None, images=None,
+               plot_type='fit', baseline_count=3, update_ylim=False, draw_markers=None):
+    """Comparison R/D plot for a list of (or single) codec DataFrames."""
+    from matplotlib.figure import Figure
+    if axes is None:
+        axes = Figure(figsize=(8, 5)).gca()
+    if isinstance(dfs, pd.DataFrame):
+        dfs = [dfs]
+    for df in dfs:
+        if df.empty:
+            continue
+        for codec in df['codec'].unique():
+            sel = df[df['codec'] == codec]
+            if images is not None:
+                sel = sel[sel['image_id'].isin(images)]
+            if plot_type in ('fit', 'line'):
+                try:
+                    grid, fitted = fit_rd_curve(sel, metric)
+                    axes.semilogx(grid, fitted, label=codec)
+                except (RuntimeError, ValueError):
+                    axes.semilogx(sel['bpp'], sel[metric], '.', label=codec)
+            if plot_type in ('scatter', 'fit') and draw_markers is not False:
+                axes.semilogx(sel['bpp'], sel[metric], '.', alpha=0.2)
+    axes.set_xlabel('bpp')
+    axes.set_ylabel(metric)
+    axes.legend()
+    if title:
+        axes.set_title(title)
+    return axes
+
+
+def plot_bulk(dfss, directory=None, metric='ssim', ncols=3):
+    """Grid of per-image R/D comparisons across codecs."""
+    from neural_imaging_tpu.utils import plots
+    all_images = sorted(set().union(*[set(df['image_id'].unique())
+                                      for df in dfss if not df.empty]))
+    fig, axes = plots.sub(max(len(all_images), 1), figwidth=18, ncols=ncols)
+    for ax, image_id in zip(axes, all_images):
+        plot_curve(dfss, axes=ax, metric=metric, images=[image_id],
+                   title=f'image {image_id}')
+    return fig
