@@ -28,6 +28,9 @@ ITERS = 20
 
 
 def main():
+    from neural_imaging_tpu.utils.runtime import configure_jax
+    configure_jax()  # persistent compilation cache (tunneled compiles are slow)
+
     import numpy as np
     import jax
 

@@ -1,0 +1,223 @@
+"""
+Fused Pallas TPU kernel for soft-codebook quantization + entropy.
+
+The reference's analogue materializes an (N, 2^bpf) float64 kernel-weight matrix
+TWICE per step (once in the quantizer, once in the entropy estimator,
+models/layers.py:139-170 + helpers/tf_helpers.py:290-333). This kernel streams the
+latent through VMEM once, computing per-tile:
+
+- the log-space t-Student/Gaussian weights against the codebook (two reduction
+  passes over codewords: max+argmax, then sum-exp + weighted sum),
+- the soft assignment Σ wᵢcᵢ and the hard argmax assignment,
+- per-codeword assignment counts (accumulated across the sequential TPU grid).
+
+The entropy of the *quantized* latent then follows exactly (not approximately) from
+the counts: weights evaluated at codeword positions form a fixed L×L matrix W_cc,
+so soft_histogram = (counts/N) @ W_cc — an O(L²) epilogue instead of O(N·L).
+
+A custom VJP reproduces the straight-through + entropy gradients with an XLA
+recompute (no N×L tensor ever hits HBM in the forward pass).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neural_imaging_tpu.ops import quantization as quant
+
+LANE = 128
+SUBLANES = 8
+TILE = LANE * SUBLANES
+
+
+def _is_tpu():
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except (IndexError, RuntimeError):
+        return False
+
+
+def _kernel(z_ref, cb_ref, soft_ref, hard_ref, counts_ref, *, n_codes, v, gamma):
+    """One (SUBLANES, LANE) tile: two codeword-reduction passes + count update."""
+    z = z_ref[:]
+
+    neg_inf = jnp.float32(-1e30)
+
+    def logw(c):
+        d = gamma * (z - c)
+        if v <= 0:
+            return -d * d
+        return -(v + 1.0) / 2.0 * jnp.log1p(d * d / v)
+
+    # pass 1: max log-weight and argmax codeword
+    def pass1(j, carry):
+        m, best = carry
+        lw = logw(cb_ref[0, j])
+        take = lw > m
+        return jnp.where(take, lw, m), jnp.where(take, j, best)
+
+    m0 = jnp.full(z.shape, neg_inf, dtype=jnp.float32)
+    b0 = jnp.zeros(z.shape, dtype=jnp.int32)
+    m, best = jax.lax.fori_loop(0, n_codes, pass1, (m0, b0))
+
+    # pass 2: normalizer and weighted codeword sum
+    def pass2(j, carry):
+        s, acc = carry
+        w = jnp.exp(logw(cb_ref[0, j]) - m)
+        return s + w, acc + w * cb_ref[0, j]
+
+    s0 = jnp.zeros(z.shape, dtype=jnp.float32)
+    a0 = jnp.zeros(z.shape, dtype=jnp.float32)
+    s, acc = jax.lax.fori_loop(0, n_codes, pass2, (s0, a0))
+
+    soft_ref[:] = acc / s
+    hard_ref[:] = best
+
+    # accumulate per-codeword counts (grid iterations are sequential on TPU)
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+
+    cb_lane = counts_ref.shape[1]
+    flat_best = best.reshape(-1, 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (flat_best.shape[0], cb_lane), 1)
+    onehot = (flat_best == lane_ids).astype(jnp.float32)
+    counts_ref[:] = counts_ref[:] + jnp.sum(onehot, axis=0, keepdims=True)
+
+
+def _pallas_forward(z_flat, codebook, v, gamma, interpret):
+    n = z_flat.shape[0]
+    n_codes = codebook.shape[0]
+    padded = int(np.ceil(n / TILE)) * TILE
+    z_pad = jnp.pad(z_flat, (0, padded - n),
+                    constant_values=np.float32(codebook[0]))
+    z2 = z_pad.reshape(-1, LANE)
+    rows = z2.shape[0]
+    grid = rows // SUBLANES
+
+    cb_lane = int(np.ceil(n_codes / LANE)) * LANE
+    cb2 = jnp.pad(jnp.asarray(codebook, jnp.float32), (0, cb_lane - n_codes),
+                  constant_values=np.float32(codebook[0])).reshape(1, -1)
+
+    kernel = functools.partial(_kernel, n_codes=n_codes, v=float(v), gamma=float(gamma))
+    soft, hard_idx, counts = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # codebook in SMEM: the reduction loops read it one scalar at a time
+            pl.BlockSpec((1, cb_lane), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb_lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((1, cb_lane), jnp.float32),
+        ],
+        interpret=interpret,
+    )(z2, cb2)
+
+    soft = soft.reshape(-1)[:n]
+    hard_idx = hard_idx.reshape(-1)[:n]
+    counts = counts[0, :n_codes]
+    # subtract padding contributions (pad values sit exactly on codebook[0])
+    counts = counts.at[0].add(-(padded - n))
+    return soft, hard_idx, counts
+
+
+def _codeword_weight_matrix(codebook, v, gamma):
+    """W_cc[i, j]: normalized kernel weight of codeword i against codeword j."""
+    logw = quant.codebook_log_weights(jnp.asarray(codebook), jnp.asarray(codebook),
+                                      v, gamma)
+    return jax.nn.softmax(logw, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def quantize_with_entropy_pallas(z, codebook, v=50.0, gamma=25.0, interpret=None):
+    """
+    Fused soft-codebook quantization + entropy of the quantized latent.
+    Semantics identical to ops.quantization.quantize_with_entropy with
+    rounding='soft-codebook' and a non-trainable codebook.
+    Returns (quantized, entropy_bits, histogram).
+    """
+    q, h, hist, _ = _fwd_impl(z, codebook, v, gamma, interpret)
+    return q, h, hist
+
+
+def _fwd_impl(z, codebook, v, gamma, interpret):
+    if interpret is None:
+        interpret = not _is_tpu()
+    shape = z.shape
+    z_flat = z.reshape(-1).astype(jnp.float32)
+    soft, hard_idx, counts = _pallas_forward(z_flat, np.asarray(codebook, np.float32),
+                                             v, gamma, interpret)
+    cb = jnp.asarray(codebook, jnp.float32)
+    hard = cb[hard_idx]
+    q = (jax.lax.stop_gradient(hard - soft) + soft).reshape(shape)
+
+    w_cc = _codeword_weight_matrix(cb, v, gamma)
+    histogram = (counts / z_flat.shape[0]) @ w_cc
+    histogram = jnp.clip(histogram, 1e-9, None)
+    histogram = histogram / jnp.sum(histogram)
+    entropy = -jnp.sum(histogram * jnp.log(histogram)) / quant.LN2
+    return q, entropy, histogram, (z, hard_idx, histogram)
+
+
+def _fwd(z, codebook, v, gamma, interpret):
+    q, h, hist, residuals = _fwd_impl(z, codebook, v, gamma, interpret)
+    return (q, h, hist), (*residuals, jnp.asarray(codebook, jnp.float32))
+
+
+def _bwd(v, gamma, interpret, residuals, cotangents):
+    z, hard_idx, histogram, cb = residuals
+    g_q, g_h, g_hist = cotangents
+
+    z_flat = z.reshape(-1).astype(jnp.float32)
+    n = z_flat.shape[0]
+
+    # recompute softmax weights (XLA, fused; backward only)
+    w = quant.codebook_weights(z_flat, cb, v, gamma)          # (N, L)
+
+    # d soft / d z: Σ_k c_k w_k (dlogw_k - Σ_j w_j dlogw_j)
+    d = z_flat[:, None] - cb[None, :]
+    if v <= 0:
+        dlogw = -2.0 * gamma * d
+    else:
+        gd = gamma * d
+        dlogw = -(v + 1.0) * gamma * gd / (v + gd * gd)
+    mean_dlogw = jnp.sum(w * dlogw, axis=-1, keepdims=True)
+    dsoft_dz = jnp.sum(cb[None, :] * w * (dlogw - mean_dlogw), axis=-1)
+
+    # entropy gradient path: dH/dhist, dhist/dq at codeword positions
+    # H = -Σ p log2 p with p = hist (already clipped/normalized; treat the
+    # normalization as identity to match the plain-path gradient structure)
+    dH_dhist = -(jnp.log(histogram) + 1.0) / quant.LN2
+    g_hist_total = g_h * dH_dhist + g_hist                     # (L,)
+
+    # dhist_k/dq_n = w'_k(q_n)/N; at codewords these are rows of a fixed matrix
+    logw_cc = quant.codebook_log_weights(cb, cb, v, gamma)
+    w_cc = jax.nn.softmax(logw_cc, axis=-1)
+    d_cc = cb[:, None] - cb[None, :]
+    if v <= 0:
+        dlogw_cc = -2.0 * gamma * d_cc
+    else:
+        gd_cc = gamma * d_cc
+        dlogw_cc = -(v + 1.0) * gamma * gd_cc / (v + gd_cc * gd_cc)
+    mean_cc = jnp.sum(w_cc * dlogw_cc, axis=-1, keepdims=True)
+    dw_cc = w_cc * (dlogw_cc - mean_cc)                        # (L_at, L_k)
+
+    per_codeword = dw_cc @ g_hist_total                        # (L_at,)
+    entropy_term = per_codeword[hard_idx] / n                  # (N,)
+
+    dz = (g_q.reshape(-1) + entropy_term) * dsoft_dz
+    return (dz.reshape(z.shape), jnp.zeros_like(cb))
+
+
+quantize_with_entropy_pallas.defvjp(_fwd, _bwd)

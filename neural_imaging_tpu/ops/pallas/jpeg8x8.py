@@ -1,0 +1,166 @@
+"""
+Fused Pallas TPU kernel for the differentiable JPEG core: per-strip
+DCT → quantize (soft rounding) → dequantize → IDCT without HBM round trips.
+
+The XLA reference path (ops.dct + ops.quantization) materializes the intermediate
+coefficient tensors between each stage; this kernel keeps an (8, W) strip of a YCbCr
+plane in VMEM for the whole transform chain. 8x8 DCTs are expressed as one
+(8,8)x(8,W) row matmul plus a per-block column contraction, both on the MXU at f32.
+
+Forward-only kernel; the custom VJP rematerializes through the XLA path (the
+backward of an orthonormal DCT is its transpose, so the chain is two matmul pairs +
+the sin-approximation derivative).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neural_imaging_tpu.ops import dct as dct_ops
+
+LANE = 128
+
+
+def _is_tpu():
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except (IndexError, RuntimeError):
+        return False
+
+
+def _strip_kernel(x_ref, q_ref, d_ref, y_ref, c_ref, *, width):
+    """Process one (8, width) strip of a single plane: DCT→quant→dequant→IDCT."""
+    d = d_ref[:]                                           # (8, 8) DCT matrix
+    strip = x_ref[0]                                       # (8, W)
+    q = q_ref[0]                                           # (8, 8)
+
+    # row DCT: (8,8) @ (8,W)
+    t = jnp.dot(d, strip, preferred_element_type=jnp.float32)
+    # column DCT within each 8-wide block: X[r, b, k] = Σ_j t[r, b, j] D[k, j]
+    tb = t.reshape(8, width // 8, 8)
+    X = jax.lax.dot_general(tb, d, (((2,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (8, W/8, 8)
+
+    # quantize with the sinusoidal soft-rounding forward
+    u = X / q[:, None, :]
+    u_hard = jnp.round(u)
+    Xq = u_hard * q[:, None, :]
+
+    # inverse column DCT: t2[r, b, j] = Σ_k Xq[r, b, k] D[k, j]
+    t2 = jax.lax.dot_general(Xq, d, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # inverse row DCT: (8,8)ᵀ @ (8,W)
+    y = jnp.dot(d.T, t2.reshape(8, width), preferred_element_type=jnp.float32)
+
+    y_ref[0] = y
+    c_ref[0] = Xq.reshape(8, width)
+
+
+def _pallas_core(planes, q_tables, interpret):
+    """planes: (P, H, W) float32, q_tables: (P, 8, 8). Returns (y, coeffs)."""
+    p, h, w = planes.shape
+    kernel = functools.partial(_strip_kernel, width=w)
+    grid = (p, h // 8)
+    y, coeffs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((p, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(planes, q_tables, jnp.asarray(dct_ops.dct_matrix(8)))
+    return y, coeffs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def jpeg_core_pallas(ycc_planes, q_tables, interpret=None):
+    """
+    Fused JPEG transform core on centered YCbCr planes.
+
+    :param ycc_planes: (P, H, W) float32 (P = N*3 planes, values ≈ [-127, 128])
+    :param q_tables: (P, 8, 8) quantization tables per plane
+    :return: (reconstructed planes, dequantized coefficients) — both (P, H, W)
+    """
+    return _forward(ycc_planes, q_tables, interpret)
+
+
+def _forward(ycc_planes, q_tables, interpret):
+    if interpret is None:
+        interpret = not _is_tpu()
+    return _pallas_core(ycc_planes.astype(jnp.float32),
+                        q_tables.astype(jnp.float32), interpret)
+
+
+def _fwd(ycc_planes, q_tables, interpret):
+    y, coeffs = _forward(ycc_planes, q_tables, interpret)
+    return (y, coeffs), (ycc_planes, q_tables)
+
+
+def _bwd(interpret, residuals, cotangents):
+    ycc_planes, q_tables = residuals
+    g_y, g_c = cotangents
+
+    p, h, w = ycc_planes.shape
+    q = q_tables[:, None, None, :, :]                     # broadcast over blocks
+
+    def blocks(x):
+        return x.reshape(p, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+
+    def unblocks(b):
+        return b.transpose(0, 1, 3, 2, 4).reshape(p, h, w)
+
+    # rematerialize the pre-quantization coefficients
+    X = dct_ops.dct2d(blocks(ycc_planes))
+    u = X / q
+
+    # soft-rounding STE backward: derivative of x - sin(2πx)/2π
+    du = 1.0 - jnp.cos(2.0 * jnp.pi * u)
+
+    # cotangent on the dequantized coefficients: from y (IDCT adjoint = DCT) + direct
+    g_Xq = dct_ops.dct2d(blocks(g_y)) + blocks(g_c)
+    g_X = g_Xq * du
+    g_planes = unblocks(dct_ops.idct2d(g_X))
+
+    # quantization-table gradient: Xq = q * r(X/q) → d/dq = r(u) - u r'(u)
+    r_u = u - jnp.sin(2 * jnp.pi * u) / (2 * jnp.pi)
+    dq = g_Xq * (r_u - u * du)
+    g_q = jnp.sum(dq, axis=(1, 2))                        # (P, 8, 8)
+
+    return jnp.asarray(g_planes, ycc_planes.dtype), g_q
+
+
+jpeg_core_pallas.defvjp(_fwd, _bwd)
+
+
+def jpeg_forward_pallas(x, q_luma, q_chroma):
+    """
+    Drop-in fused variant of models.jpeg.jpeg_forward (rounding='soft').
+    Returns (y, coeffs_blocks) with coeffs in the (N, 3, hb, wb, 8, 8) layout.
+    """
+    from neural_imaging_tpu.ops import color
+    n, h, w, _ = x.shape
+    ycc = color.rgb_to_ycbcr(255.0 * x) - 127.0
+    planes = ycc.transpose(0, 3, 1, 2).reshape(n * 3, h, w)
+    q = jnp.stack([q_luma, q_chroma, q_chroma]).astype(jnp.float32)
+    q_tables = jnp.tile(q, (n, 1, 1))
+
+    y_planes, coeff_planes = jpeg_core_pallas(planes, q_tables)
+
+    y = y_planes.reshape(n, 3, h, w).transpose(0, 2, 3, 1)
+    y = color.ycbcr_to_rgb(y + 127.0) / 255.0
+    coeffs = (coeff_planes.reshape(n, 3, h // 8, 8, w // 8, 8)
+              .transpose(0, 1, 2, 4, 3, 5))
+    return jnp.clip(y, 0.0, 1.0), coeffs

@@ -1,0 +1,85 @@
+"""Parity tests for the fused Pallas kernels (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
+from neural_imaging_tpu.models import jpeg as jpeg_models
+from neural_imaging_tpu.ops import quantization as quant
+from neural_imaging_tpu.ops.pallas import codebook as cbk
+from neural_imaging_tpu.ops.pallas import jpeg8x8
+
+
+class TestCodebookKernel:
+    @pytest.fixture(scope='class')
+    def data(self):
+        rng = np.random.default_rng(0)
+        cb = quant.default_codebook(5)
+        z = jnp.asarray(rng.standard_normal((4, 8, 8, 3)).astype(np.float32) * 6)
+        return z, cb
+
+    def test_forward_parity(self, data):
+        z, cb = data
+        q_p, h_p, hist_p = cbk.quantize_with_entropy_pallas(z, cb)
+        q_r, h_r, hist_r = quant.quantize_with_entropy(z, cb)
+        assert np.abs(np.asarray(q_p - q_r)).max() == 0
+        assert abs(float(h_p) - float(h_r)) < 1e-5
+        assert np.abs(np.asarray(hist_p - hist_r)).max() < 1e-6
+
+    def test_gradient_parity(self, data):
+        z, cb = data
+
+        def loss(fn):
+            def inner(v):
+                q, h, _ = fn(v, cb)
+                return 0.001 * jnp.sum(q ** 2) + 10.0 * h
+            return inner
+
+        g_p = jax.grad(loss(cbk.quantize_with_entropy_pallas))(z)
+        g_r = jax.grad(loss(quant.quantize_with_entropy))(z)
+        assert np.abs(np.asarray(g_p - g_r)).max() < 1e-4
+
+    def test_unpadded_sizes(self):
+        """Non-tile-aligned inputs must not corrupt counts via padding."""
+        rng = np.random.default_rng(3)
+        cb = quant.default_codebook(4)
+        z = jnp.asarray(rng.standard_normal(777).astype(np.float32) * 4)
+        _, h_p, hist_p = cbk.quantize_with_entropy_pallas(z, cb)
+        _, h_r, hist_r = quant.quantize_with_entropy(z, cb)
+        assert abs(float(h_p) - float(h_r)) < 1e-5
+        assert np.abs(np.asarray(hist_p - hist_r)).max() < 1e-6
+
+    def test_gaussian_kernel_variant(self, data):
+        z, cb = data
+        q_p, h_p, _ = cbk.quantize_with_entropy_pallas(z, cb, 0.0, 5.0)
+        q_r, h_r, _ = quant.quantize_with_entropy(z, cb, 'soft-codebook', 0.0, 5.0)
+        assert np.abs(np.asarray(q_p - q_r)).max() == 0
+        assert abs(float(h_p) - float(h_r)) < 1e-5
+
+
+class TestJPEGKernel:
+    @pytest.fixture(scope='class')
+    def data(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        return x, jnp.asarray(jpeg_qtable(50, 0)), jnp.asarray(jpeg_qtable(50, 1))
+
+    def test_forward_parity(self, data):
+        x, ql, qc = data
+        y_p, X_p = jpeg8x8.jpeg_forward_pallas(x, ql, qc)
+        y_r, X_r = jpeg_models.jpeg_forward(x, ql, qc, rounding='soft')
+        assert np.abs(np.asarray(y_p - y_r)).max() < 1e-5
+        assert np.abs(np.asarray(X_p - X_r)).max() < 1e-4
+
+    def test_gradient_parity(self, data):
+        x, ql, qc = data
+        g_p = jax.grad(lambda v: jnp.mean((jpeg8x8.jpeg_forward_pallas(v, ql, qc)[0] - v) ** 2))(x)
+        g_r = jax.grad(lambda v: jnp.mean((jpeg_models.jpeg_forward(v, ql, qc)[0] - v) ** 2))(x)
+        assert np.abs(np.asarray(g_p - g_r)).max() < 1e-7
+
+    def test_qtable_gradients(self, data):
+        """Trainable-qtable path: gradients flow to the tables through the kernel."""
+        x, ql, qc = data
+        g = jax.grad(lambda q: jnp.mean(jpeg8x8.jpeg_forward_pallas(x, q, qc)[0]))(ql)
+        assert np.isfinite(np.asarray(g)).all()
