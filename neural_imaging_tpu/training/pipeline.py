@@ -70,9 +70,10 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
 
     # sanity-check the dataset interface before entering the loop
     try:
-        bx, by = data.next_training_batch(0, 5, patch_size * 2)
-        if bx.shape != (5, patch_size, patch_size, 4) or \
-                by.shape != (5, 2 * patch_size, 2 * patch_size, 3):
+        probe = min(5, data.count_training)
+        bx, by = data.next_training_batch(0, probe, patch_size * 2)
+        if bx.shape != (probe, patch_size, patch_size, 4) or \
+                by.shape != (probe, 2 * patch_size, 2 * patch_size, 3):
             raise ValueError('The training batch returned by the dataset is of invalid size!')
     except Exception as e:
         raise ValueError(f'Data set error: {e}')

@@ -387,8 +387,9 @@ class ResultCache:
                 raise ValueError('Wildcards found - not a valid filename!')
             return filename
         except (KeyError, ValueError):
+            import glob as globlib
             pattern = self._wildcard_pattern(args)
-            candidates = [str(x) for x in Path('.').glob(pattern)]
+            candidates = globlib.glob(pattern)
             if len(candidates) == 1:
                 return candidates[0]
             raise ValueError(f'Search pattern [{pattern}] must match 1 file but '
@@ -422,10 +423,11 @@ class ResultCache:
         return os.path.join(self.prefix, *[fmt.format(x, **(args or {})) for x in self.pattern])
 
     def find(self, **kwargs):
+        import glob as globlib
         args = {**self.kwargs, **kwargs}
         pattern = self._wildcard_pattern(args)
         logger.info('*> %s', pattern)
-        return [str(x) for x in Path('.').glob(pattern)]
+        return sorted(globlib.glob(pattern))
 
     def __str__(self):
         fmt = DefaultFormatter()

@@ -1,0 +1,195 @@
+"""Tests for the training layer: loops, validation, JSON-log schema, aggregation."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from neural_imaging_tpu.data import fixtures
+from neural_imaging_tpu.data.dataset import Dataset
+
+
+@pytest.fixture(scope='module')
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('train_data')
+    fixtures.make_dataset(str(d), n_images=6, height=128, width=160, seed=21)
+    return str(d)
+
+
+@pytest.fixture(scope='module')
+def data(data_dir):
+    return Dataset(data_dir, n_images=4, v_images=2, val_rgb_patch_size=64,
+                   val_n_patches=2, randomize=7)
+
+
+class TestTrainNIP:
+    def test_loop_artifacts_and_resume(self, data, tmp_path_factory):
+        from neural_imaging_tpu.models import pipelines
+        from neural_imaging_tpu.training.pipeline import train_nip_model
+        out_root = str(tmp_path_factory.mktemp('nip_out'))
+        model = pipelines.INet(patch_size=32)
+        out = train_nip_model(model, 'TestCam', n_epochs=4, validation_schedule=2,
+                              patch_size=32, batch_size=2, data=data,
+                              out_directory_root=out_root)
+        assert os.path.isfile(os.path.join(out, 'progress.json'))
+        assert os.path.isfile(os.path.join(out, 'inet.npz'))
+        prog = json.load(open(os.path.join(out, 'progress.json')))
+        assert prog['model'] == 'INet'
+        assert len(prog['performance']['psnr']['validation']) >= 2
+        assert prog['performance']['psnr']['validation'][-1] > 30
+
+        # resume continues the epoch counter
+        out2 = train_nip_model(model, 'TestCam', n_epochs=6, validation_schedule=2,
+                               patch_size=32, batch_size=2, data=data, resume=True,
+                               out_directory_root=out_root)
+        prog2 = json.load(open(os.path.join(out2, 'progress.json')))
+        assert prog2['summary']['Epoch'] == 5
+
+    def test_skips_existing_dir(self, data, tmp_path_factory):
+        from neural_imaging_tpu.models import pipelines
+        from neural_imaging_tpu.training.pipeline import train_nip_model
+        out_root = str(tmp_path_factory.mktemp('nip_skip'))
+        m = pipelines.INet(patch_size=32)
+        train_nip_model(m, 'X', n_epochs=2, validation_schedule=1, patch_size=32,
+                        batch_size=2, data=data, out_directory_root=out_root)
+        # second call without --resume must skip (no exception, no retrain)
+        out = train_nip_model(m, 'X', n_epochs=2, validation_schedule=1, patch_size=32,
+                              batch_size=2, data=data, out_directory_root=out_root)
+        assert os.path.isdir(out)
+
+
+class TestTrainDCN:
+    def test_loop_artifacts(self, data_dir, tmp_path_factory):
+        from neural_imaging_tpu.models.compression import TwitterDCN
+        from neural_imaging_tpu.training.compression import train_dcn
+        rgb = Dataset(data_dir, load='y', n_images=4, v_images=2,
+                      val_rgb_patch_size=32, val_n_patches=2, randomize=3)
+        out_root = str(tmp_path_factory.mktemp('dcn_out'))
+        dcn = TwitterDCN(patch_size=32, n_features=8)
+        out = train_dcn(dcn, {'n_epochs': 3, 'batch_size': 2, 'patch_size': 32,
+                              'validation_schedule': 2}, rgb, directory=out_root)
+        prog = json.load(open(os.path.join(out, 'progress.json')))
+        assert prog['codec']['model'] == 'TwitterDCN'
+        assert 'codebook' in prog['codec']
+        assert len(prog['codec']['performance']['ssim']['validation']) >= 1
+        assert os.path.isfile(os.path.join(out, 'twitterdcn.npz'))
+
+
+class TestValidationAndLogs:
+    @pytest.fixture(scope='class')
+    def flow(self):
+        from neural_imaging_tpu.workflows import ManipulationClassification
+        return ManipulationClassification(
+            'INet', manipulations=['sharpen:1'],
+            distribution={'downsampling': 'none', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+            trainable={'nip'}, raw_patch_size=32)
+
+    def test_validate_fan(self, flow, data):
+        from neural_imaging_tpu.training import validation
+        accuracy, conf = validation.validate_fan(flow, data)
+        assert 0 <= accuracy <= 1
+        assert conf.shape == (2, 2)
+        assert np.allclose(conf.sum(axis=1), 1, atol=1e-6)
+
+    def test_validate_nip(self, flow, data, tmp_path):
+        from neural_imaging_tpu.training import validation
+        ssims, psnrs, losses = validation.validate_nip(flow.nip, data, str(tmp_path))
+        assert len(ssims) == data.count_validation
+        assert all(0 < s <= 1 for s in ssims)
+        assert any(f.startswith('nip_validation') for f in os.listdir(tmp_path))
+
+    def test_validate_jpeg(self, data):
+        from neural_imaging_tpu.models.jpeg import JPEG
+        from neural_imaging_tpu.training import validation
+        out = validation.validate_jpeg(JPEG(80, 'soft'), data)
+        assert out['psnr'] > 25 and 0.5 < out['ssim'] <= 1
+
+    def test_training_json_schema(self, flow, data, tmp_path):
+        from neural_imaging_tpu.training import validation
+        flow.fan.log_metric('accuracy', 'validation', 0.5)
+        flow.fan.performance['confusion'] = np.eye(2).tolist()
+        validation.save_training_progress({'Classes': str(flow._forensics_classes)},
+                                          flow, str(tmp_path))
+        log = json.load(open(tmp_path / 'training.json'))
+        for key in ('summary', 'distribution', 'manipulations', 'nip', 'forensics'):
+            assert key in log, key
+        assert log['forensics']['performance']['accuracy']['validation'] == [0.5]
+
+    def test_visualization(self, flow, tmp_path):
+        from neural_imaging_tpu.training import validation
+        flow.fan.performance['confusion'] = np.eye(2).tolist()
+        validation.visualize_manipulation_training(flow, 0, str(tmp_path))
+        assert any(f.startswith('manip_validation') for f in os.listdir(tmp_path))
+
+
+class TestResultsData:
+    def test_nip_stats_and_cache(self, data, tmp_path):
+        from neural_imaging_tpu.models import pipelines
+        from neural_imaging_tpu.training.pipeline import train_nip_model
+        from neural_imaging_tpu.utils import results_data
+
+        out_root = str(tmp_path / 'models' / 'nip')
+        m = pipelines.INet(patch_size=32)
+        train_nip_model(m, 'CamA', n_epochs=2, validation_schedule=1, patch_size=32,
+                        batch_size=2, data=data, out_directory_root=out_root)
+        df = results_data.nip_stats(out_root)
+        assert len(df) == 1 and df.iloc[0]['camera'] == 'CamA'
+        assert df.iloc[0]['psnr'] > 30
+
+    def test_confusion_to_text(self):
+        from neural_imaging_tpu.utils import results_data
+        conf = np.array([[90.0, 10.0], [20.0, 80.0]])
+        txt = results_data.confusion_to_text(conf, ['native', 'sharpen'])
+        assert 'native' in txt and '90' in txt
+        tex = results_data.confusion_to_text(conf, ['native', 'sharpen'], fmt='tex')
+        assert '\\begin{tabular}' in tex
+
+    def test_convert_table_formats(self):
+        from neural_imaging_tpu.utils import results_data
+        conf = np.arange(6, dtype=float).reshape(2, 3) * 10
+        txt = results_data.convert_table(conf, ['a', 'b', 'c'], labels_rows=['r1', 'r2'])
+        assert 'r1' in txt
+        df = results_data.convert_table(conf, ['a', 'b', 'c'], fmt='df',
+                                        labels_rows=['r1', 'r2'])
+        assert df.shape == (2, 3)
+        csv = results_data.convert_table(conf, ['a', 'b', 'c'], fmt='csv',
+                                         labels_rows=['r1', 'r2'])
+        assert csv.count(',') >= 6
+
+    def test_result_cache(self, tmp_path):
+        from neural_imaging_tpu.utils import results_data
+        cache = results_data.ResultCache(['exp_{name}', '{size}px', 'results.json'],
+                                         str(tmp_path), name='demo')
+        cache.save({'value': 42}, size=64)
+        assert cache.load(size=64)['value'] == 42
+        found = cache.find()
+        assert len(found) == 1
+        with pytest.raises(FileExistsError):
+            cache.save({'value': 1}, size=64)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from neural_imaging_tpu.utils.profiling import StepTimer
+        t = StepTimer(warmup=1)
+        for _ in range(4):
+            with t.step():
+                sum(range(1000))
+        s = t.summary()
+        assert s['steps'] == 3 and s['steps_per_sec'] > 0
+
+    def test_scalar_log(self, tmp_path):
+        from neural_imaging_tpu.utils.profiling import ScalarLog
+        log = ScalarLog(str(tmp_path / 'scalars.jsonl'))
+        log.log(0, loss=1.5)
+        log.log(1, loss=1.2, acc=0.7)
+        log.close()
+        records = ScalarLog.read(str(tmp_path / 'scalars.jsonl'))
+        assert records[1]['acc'] == 0.7
+
+    def test_compiled_stats(self):
+        import jax.numpy as jnp
+        from neural_imaging_tpu.utils.profiling import compiled_stats
+        stats = compiled_stats(lambda x: x @ x, jnp.ones((64, 64)))
+        assert isinstance(stats, dict)
