@@ -1,0 +1,98 @@
+"""Tests for the parallel layer: mesh creation, sharded training and inference on
+the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from neural_imaging_tpu.parallel import make_mesh, mesh as mesh_lib, train as ptrain
+
+
+@pytest.fixture(scope='module')
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip('needs the 8-device virtual CPU mesh')
+    return make_mesh(8)
+
+
+class TestMesh:
+    def test_make_mesh_1d(self, mesh8):
+        assert mesh8.shape == {'data': 8}
+
+    def test_make_mesh_2d(self):
+        if len(jax.devices()) < 8:
+            pytest.skip('needs 8 devices')
+        m = make_mesh(8, axes=('data', 'space'))
+        assert m.shape['data'] * m.shape['space'] == 8
+        assert m.shape['space'] > 1
+
+    def test_shard_and_replicate(self, mesh8, rng):
+        batch = rng.random((16, 8, 8, 3)).astype(np.float32)
+        sharded = mesh_lib.shard_batch(batch, mesh8)
+        assert len(sharded.sharding.device_set) == 8
+        params = {'w': np.ones((4, 4), np.float32)}
+        rep = mesh_lib.replicate(params, mesh8)
+        assert rep['w'].sharding.is_fully_replicated
+
+    def test_pad_batch(self, mesh8, rng):
+        batch = rng.random((13, 4, 4, 3)).astype(np.float32)
+        padded, orig = ptrain.pad_batch_to_devices(batch, mesh8)
+        assert padded.shape[0] == 16 and orig == 13
+
+
+class TestDataParallelTraining:
+    def test_nip_step_on_mesh(self, mesh8, rng):
+        """The same jitted train step must run SPMD when inputs are sharded, and
+        produce the same loss as the single-device run."""
+        from neural_imaging_tpu.models import pipelines
+        bx = rng.random((8, 8, 8, 4)).astype(np.float32)
+        by = rng.random((8, 16, 16, 3)).astype(np.float32)
+
+        m1 = pipelines.INet(patch_size=8)
+        loss_single = float(m1.training_step(bx, by, 1e-4))
+
+        m2 = pipelines.INet(patch_size=8)
+        ptrain.distribute_model(m2, mesh8)
+        sbx, sby = ptrain.shard_batch_args(mesh8, bx, by)
+        loss_sharded = float(m2.training_step(sbx, sby, 1e-4))
+
+        assert abs(loss_single - loss_sharded) / loss_single < 1e-4
+        # parameters remain replicated after the update
+        leaf = jax.tree.leaves(m2.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_workflow_step_on_mesh(self, mesh8, rng):
+        from neural_imaging_tpu.workflows import ManipulationClassification
+        flow = ManipulationClassification(
+            'INet', manipulations=['sharpen:1'],
+            distribution={'downsampling': 'none', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+            trainable={'nip'}, raw_patch_size=16)
+        ptrain.distribute_workflow(flow, mesh8)
+        bx = rng.random((8, 16, 16, 4)).astype(np.float32)
+        by = rng.random((8, 32, 32, 3)).astype(np.float32)
+        sbx, sby = ptrain.shard_batch_args(mesh8, bx, by)
+        loss, parts = flow.training_step(sbx, sby, lambda_nip=0.1)
+        assert np.isfinite(float(loss))
+
+    def test_sharded_inference(self, mesh8, rng):
+        from neural_imaging_tpu.models import pipelines
+        m = pipelines.INet(patch_size=8)
+        batch = rng.random((11, 8, 8, 4)).astype(np.float32)
+        out = ptrain.sharded_inference(m, batch, mesh8)
+        assert np.asarray(out).shape == (11, 16, 16, 3)
+        ref = np.asarray(m.process(batch))
+        assert np.allclose(np.asarray(out), ref, atol=1e-5)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.asarray(out).shape[1] == 4  # (K+1) classes
+
+    def test_dryrun_multichip(self):
+        if len(jax.devices()) < 4:
+            pytest.skip('needs multiple devices')
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(4)
