@@ -113,9 +113,10 @@ class DCN(TPUModel):
         p = self.patch_size or 128
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         dummy = jnp.zeros((1, p, p, 3), dtype=jnp.float32)
-        enc_params = jax.jit(self._encoder.init)(k1, dummy)['params']
-        z = jax.jit(self._encoder.apply)({'params': enc_params}, dummy)
-        dec_params = jax.jit(self._decoder.init)(k2, z)['params']
+        from neural_imaging_tpu.utils.runtime import maybe_jit
+        enc_params = maybe_jit(self._encoder.init)(k1, dummy)['params']
+        z = maybe_jit(self._encoder.apply)({'params': enc_params}, dummy)
+        dec_params = maybe_jit(self._decoder.init)(k2, z)['params']
 
         self.params = {'encoder': enc_params, 'decoder': dec_params}
         if self._h.scale_latent:

@@ -129,7 +129,8 @@ class FAN(TPUModel):
     def _init_params(self, seed=0):
         p = self.patch_size or 128
         dummy = jnp.zeros((1, p, p, 3), dtype=jnp.float32)
-        self.params = jax.jit(self._module.init)(jax.random.PRNGKey(seed), dummy)['params']
+        from neural_imaging_tpu.utils.runtime import maybe_jit
+        self.params = maybe_jit(self._module.init)(jax.random.PRNGKey(seed), dummy)['params']
 
     def _apply(self, params, batch_x, train=False):
         return self._module.apply({'params': params}, batch_x, train=train)

@@ -264,8 +264,8 @@ class NIPModel(TPUModel):
     def _init_params(self, seed=0):
         p = self.patch_size or 64
         dummy = jnp.zeros((1, p, p, self.in_channels), dtype=jnp.float32)
-        # jit the init: one compiled program instead of hundreds of eager dispatches
-        variables = jax.jit(self._module.init)(jax.random.PRNGKey(seed), dummy)
+        from neural_imaging_tpu.utils.runtime import maybe_jit
+        variables = maybe_jit(self._module.init)(jax.random.PRNGKey(seed), dummy)
         self.params = variables.get('params', {})
 
     # -- compute -------------------------------------------------------------------

@@ -35,3 +35,12 @@ def configure_jax(platform=None, cache_dir=None):
 
     _configured = True
     return jax
+
+
+def maybe_jit(fn):
+    """jit on accelerator backends (collapses eager dispatch storms over remote
+    device tunnels); skip on CPU where per-op dispatch is cheap and tracing isn't."""
+    import jax
+    if jax.default_backend() == 'cpu':
+        return fn
+    return jax.jit(fn)
