@@ -124,6 +124,26 @@ def decompress(stream, model=None, verbose=False):
     return np.asarray(model.decompress(batch_z))
 
 
+def compare(dcn, batch_x):
+    """
+    Compare the direct (device-only) decode with the full bitstream round trip —
+    asserts that entropy coding is lossless on the quantized latent.
+    Returns (direct_decode, bitstream_decode).
+    """
+    batch_z = np.asarray(dcn.compress(batch_x))
+    batch_y = np.asarray(dcn.decompress(batch_z))
+
+    code_book = dcn.get_codebook()
+    indices = _vq(batch_z, code_book)
+    coded = entropy.compress(indices.tobytes())
+    decoded = entropy.decompress(coded, indices.size)
+    assert indices.tobytes() == decoded, 'Entropy decoding error'
+
+    recovered = code_book[np.frombuffer(decoded, np.uint8)].reshape(batch_z.shape)
+    image_y = np.asarray(dcn.decompress(recovered.astype(np.float32)))
+    return batch_y, image_y
+
+
 def simulate_compression(batch_x, dcn):
     """Full round-trip through the real bitstream; returns (image, n_bytes)."""
     blob = compress(batch_x, dcn)

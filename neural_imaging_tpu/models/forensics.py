@@ -101,8 +101,10 @@ class FAN(TPUModel):
 
     def __init__(self, n_classes, patch_size=None, n_filters=32, n_fscale=2,
                  n_convolutions=4, kernel=5, dropout=0.0, use_gap=True, n_dense=0,
-                 activation='leaky_relu'):
+                 activation='leaky_relu', dtype='float32'):
         super().__init__()
+        import jax.numpy as _jnp
+        self._dtype = {'float32': _jnp.float32, 'bfloat16': _jnp.bfloat16}[dtype]
         self._h = paramspec.ParamSpec({
             'n_classes': (7, int, (2, 256)),
             'n_filters': (32, int, (4, 128)),
@@ -122,7 +124,7 @@ class FAN(TPUModel):
             n_classes=self._h.n_classes, n_filters=self._h.n_filters,
             n_fscale=self._h.n_fscale, n_convolutions=self._h.n_convolutions,
             kernel=self._h.kernel, dropout=self._h.dropout, use_gap=self._h.use_gap,
-            n_dense=self._h.n_dense, activation=self._h.activation)
+            n_dense=self._h.n_dense, activation=self._h.activation, dtype=self._dtype)
         self._init_params()
         self.init_optimizer()
 

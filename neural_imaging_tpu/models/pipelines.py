@@ -385,13 +385,15 @@ class INet(NIPModel):
 class UNet(NIPModel):
     """UNet-based developer."""
 
-    def construct_model(self, n_steps=5, activation='leaky_relu'):
+    def construct_model(self, n_steps=5, activation='leaky_relu', dtype='float32'):
         self._h = paramspec.ParamSpec({
             'n_steps': (5, int, (2, 6)),
             'activation': ('leaky_relu', str, set(ops.ACTIVATIONS.keys())),
         })
         self._h.update(n_steps=n_steps, activation=activation)
-        self._module = UNetCore(n_steps=self._h.n_steps, activation=self._h.activation)
+        self._module = UNetCore(n_steps=self._h.n_steps, activation=self._h.activation,
+                                dtype={'float32': jnp.float32,
+                                       'bfloat16': jnp.bfloat16}[dtype])
 
     @property
     def model_code(self):
@@ -401,7 +403,7 @@ class UNet(NIPModel):
 class DNet(NIPModel):
     """Joint demosaicing & denoising developer."""
 
-    def construct_model(self, n_layers=15, kernel=3, n_features=64):
+    def construct_model(self, n_layers=15, kernel=3, n_features=64, dtype='float32'):
         self._h = paramspec.ParamSpec({
             'n_layers': (15, int, (1, 32)),
             'kernel': (3, int, (3, 11)),
@@ -409,7 +411,9 @@ class DNet(NIPModel):
         })
         self._h.update(n_layers=n_layers, kernel=kernel, n_features=n_features)
         self._module = DNetCore(n_layers=self._h.n_layers, kernel=self._h.kernel,
-                                n_features=self._h.n_features)
+                                n_features=self._h.n_features,
+                                dtype={'float32': jnp.float32,
+                                       'bfloat16': jnp.bfloat16}[dtype])
 
     @property
     def model_code(self):

@@ -152,6 +152,35 @@ def shell(command, verbose=False):
     return proc.returncode, lines
 
 
+def log_call(fn):
+    """Decorator logging each call with its arguments (ref helpers/utils.py:126)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        arg_str = ', '.join([repr(a) for a in args] +
+                            [f'{k}={v!r}' for k, v in kwargs.items()])
+        if len(arg_str) > 200:
+            arg_str = arg_str[:200] + '…'
+        logger.debug('%s(%s)', fn.__name__, arg_str)
+        return fn(*args, **kwargs)
+    return wrapper
+
+
+def log_timing(fn):
+    """Decorator logging wall-clock duration of each call."""
+    import functools
+    import time
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        t0 = time.perf_counter()
+        result = fn(*args, **kwargs)
+        logger.debug('%s took %.3f s', fn.__name__, time.perf_counter() - t0)
+        return result
+    return wrapper
+
+
 def is_interactive():
     try:
         get_ipython  # noqa: F821
