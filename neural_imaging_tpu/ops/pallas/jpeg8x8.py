@@ -31,46 +31,57 @@ def _is_tpu():
         return False
 
 
-def _strip_kernel(x_ref, q_ref, d_ref, y_ref, c_ref, *, width):
-    """Process one (8, width) strip of a single plane: DCT→quant→dequant→IDCT."""
+def _strip_kernel(x_ref, q_ref, d_ref, bdt_ref, bd_ref, y_ref, c_ref):
+    """Process one (8, W) strip: DCT→quant→dequant→IDCT without layout changes.
+
+    The per-block column DCT is expressed as one (W, W) block-diagonal matmul
+    (I_{W/8} ⊗ Dᵀ), which keeps every tensor in the (8, W) register layout Mosaic
+    supports and puts the whole chain on the MXU."""
     d = d_ref[:]                                           # (8, 8) DCT matrix
     strip = x_ref[0]                                       # (8, W)
-    q = q_ref[0]                                           # (8, 8)
+    q = q_ref[0]                                           # (8, W) tiled tables
 
-    # row DCT: (8,8) @ (8,W)
+    # row DCT: (8,8) @ (8,W); column DCT: @ (I ⊗ Dᵀ)
     t = jnp.dot(d, strip, preferred_element_type=jnp.float32)
-    # column DCT within each 8-wide block: X[r, b, k] = Σ_j t[r, b, j] D[k, j]
-    tb = t.reshape(8, width // 8, 8)
-    X = jax.lax.dot_general(tb, d, (((2,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (8, W/8, 8)
+    X = jnp.dot(t, bdt_ref[:], preferred_element_type=jnp.float32)
 
-    # quantize with the sinusoidal soft-rounding forward
-    u = X / q[:, None, :]
-    u_hard = jnp.round(u)
-    Xq = u_hard * q[:, None, :]
+    # quantize with the hard-round forward of the 'soft' STE
+    u = X / q
+    Xq = jnp.round(u) * q
 
-    # inverse column DCT: t2[r, b, j] = Σ_k Xq[r, b, k] D[k, j]
-    t2 = jax.lax.dot_general(Xq, d, (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    # inverse row DCT: (8,8)ᵀ @ (8,W)
-    y = jnp.dot(d.T, t2.reshape(8, width), preferred_element_type=jnp.float32)
+    # inverse column DCT: @ (I ⊗ D); inverse row DCT: Dᵀ @ ·
+    t2 = jnp.dot(Xq, bd_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.dot(d.T, t2, preferred_element_type=jnp.float32)
 
     y_ref[0] = y
-    c_ref[0] = Xq.reshape(8, width)
+    c_ref[0] = Xq
+
+
+def _block_diag_dct(width):
+    """(W, W) block-diagonal I_{W/8} ⊗ Dᵀ and I_{W/8} ⊗ D matrices."""
+    d = dct_ops.dct_matrix(8)
+    eye = np.eye(width // 8, dtype=np.float32)
+    bdt = np.kron(eye, d.T).astype(np.float32)
+    bd = np.kron(eye, d).astype(np.float32)
+    return bdt, bd
 
 
 def _pallas_core(planes, q_tables, interpret):
     """planes: (P, H, W) float32, q_tables: (P, 8, 8). Returns (y, coeffs)."""
     p, h, w = planes.shape
-    kernel = functools.partial(_strip_kernel, width=w)
     grid = (p, h // 8)
+    bdt, bd = _block_diag_dct(w)
+    q_tiled = jnp.tile(q_tables, (1, 1, w // 8))           # (P, 8, W)
+
     y, coeffs = pl.pallas_call(
-        kernel,
+        _strip_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -81,7 +92,8 @@ def _pallas_core(planes, q_tables, interpret):
             jax.ShapeDtypeStruct((p, h, w), jnp.float32),
         ],
         interpret=interpret,
-    )(planes, q_tables, jnp.asarray(dct_ops.dct_matrix(8)))
+    )(planes, q_tiled, jnp.asarray(dct_ops.dct_matrix(8)),
+      jnp.asarray(bdt), jnp.asarray(bd))
     return y, coeffs
 
 
