@@ -245,3 +245,33 @@ class TPUModel:
         missing = [a for a in attrs if not hasattr(self, a)]
         if missing:
             raise NotImplementedError(f'Expected attributes not found: {missing}')
+
+    def deploy_model(self, dirname, batch_size=1, patch_size=None):
+        """
+        AOT-export the inference graph for serving: lowers ``process`` to StableHLO
+        and writes the portable artifact + an input/weights manifest. (The
+        reference's TFModel.deploy_model was left unimplemented,
+        models/tfmodel.py:292-294.)
+        """
+        import jax
+        import jax.numpy as jnp
+
+        os.makedirs(dirname, exist_ok=True)
+        p = patch_size or self.patch_size or 64
+        channels = getattr(self, 'in_channels', 3)
+        dummy = jnp.zeros((batch_size, p, p, channels), dtype=jnp.float32)
+        lowered = jax.jit(self._apply).lower(self.params, dummy)
+
+        with open(os.path.join(dirname, 'model.stablehlo.mlir'), 'w') as f:
+            f.write(lowered.as_text())
+        self.save_model(dirname, save_args=True, quiet=True)
+        manifest = {
+            'model': self.class_name,
+            'input_shape': [batch_size, p, p, channels],
+            'input_dtype': 'float32',
+            'args': self.get_hyperparameters(),
+            'format': 'stablehlo + npz weights',
+        }
+        with open(os.path.join(dirname, 'manifest.json'), 'w') as f:
+            json.dump(manifest, f, indent=4)
+        return dirname

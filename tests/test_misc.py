@@ -1,0 +1,78 @@
+"""Tests for auxiliary subsystems: imdiff, debugging, deployment export, fingerprints."""
+import os
+
+import numpy as np
+import pytest
+
+from neural_imaging_tpu.data import fixtures
+
+
+class TestImdiff:
+    def test_compare_figure(self):
+        from neural_imaging_tpu.utils import imdiff
+        ref = fixtures.procedural_image(64, 64, seed=1)
+        a = np.clip(ref + 0.02 * np.random.default_rng(0).standard_normal(ref.shape), 0, 1)
+        fig = imdiff.compare_ab_ref(ref, a, extras=True)
+        assert len(fig.axes) >= 3
+
+    def test_compare_with_b(self):
+        from neural_imaging_tpu.utils import imdiff
+        ref = fixtures.procedural_image(64, 64, seed=1)
+        fig = imdiff.compare_ab_ref(ref, ref * 0.9, ref * 0.8)
+        assert len(fig.axes) >= 6
+
+
+class TestDebugging:
+    def test_memory_probes(self):
+        from neural_imaging_tpu.utils import debugging
+        assert debugging.memory_usage_resource() > 1
+        assert debugging.memory_usage_proc() > 1
+        assert debugging.array_megabytes(np.zeros((1024, 1024), np.float32)) == 4.0
+
+    def test_device_memory_stats(self):
+        from neural_imaging_tpu.utils import debugging
+        stats = debugging.device_memory_stats()
+        assert len(stats) >= 1
+
+    def test_live_arrays(self):
+        import jax.numpy as jnp
+        from neural_imaging_tpu.utils import debugging
+        keep = jnp.ones((128, 128))
+        totals = debugging.live_device_arrays()
+        assert sum(c for c, _ in totals.values()) >= 1
+        del keep
+
+
+class TestDeployment:
+    def test_deploy_exports_stablehlo(self, tmp_path):
+        from neural_imaging_tpu.models import pipelines
+        m = pipelines.INet(patch_size=16)
+        out = m.deploy_model(str(tmp_path / 'serve'))
+        text = open(os.path.join(out, 'model.stablehlo.mlir')).read()
+        assert 'stablehlo' in text or 'mhlo' in text or 'func.func' in text
+        assert os.path.isfile(os.path.join(out, 'manifest.json'))
+        assert os.path.isfile(os.path.join(out, 'inet', 'inet.npz'))
+
+
+class TestFingerprint:
+    def test_process_fingerprint_merge(self):
+        from neural_imaging_tpu.models import pipelines
+        rng = np.random.default_rng(0)
+        m = pipelines.INet(patch_size=16, cfa_pattern='gbrg')
+        k0 = rng.standard_normal((8, 8, 4)).astype(np.float32) * 0.01
+        mapped = m.process_fingerprint(k0, demosaicing=False)
+        assert mapped.shape == (16, 16)
+
+    def test_process_fingerprint_demosaic(self):
+        from neural_imaging_tpu.models import pipelines
+        rng = np.random.default_rng(0)
+        m = pipelines.ClassicISP(patch_size=16)
+        k0 = rng.standard_normal((8, 8, 4)).astype(np.float32) * 0.01
+        mapped = m.process_fingerprint(k0, demosaicing=True)
+        assert mapped.shape == (1, 16, 16, 3)
+
+
+class TestShellScripts:
+    def test_scripts_are_executable(self):
+        for script in ['train_manipulation_batch.sh', 'test_fan_batch.sh']:
+            assert os.access(script, os.X_OK), script
