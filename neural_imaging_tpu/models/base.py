@@ -195,6 +195,51 @@ class TPUModel:
         self.init_optimizer()
         self.reset_performance_stats()
 
+    def migrate_model(self, dirname, mapping=None, verbose=False):
+        """
+        Migrate weights from a checkpoint with different parameter names
+        (ref models/tfmodel.py:184): loads the npz and assigns values through a
+        {'new/path': 'old/path'} mapping; unmapped params keep their values.
+        """
+        if not dirname.endswith(self.scoped_name):
+            dirname = os.path.join(dirname, self.scoped_name)
+        filename = os.path.join(dirname, f'{self.class_name.lower()}.npz')
+        with np.load(filename) as z:
+            old = {k: z[k] for k in z.files}
+
+        if verbose:
+            logger.info('# Variables found in the checkpoint: %s', filename)
+            for i, (name, arr) in enumerate(old.items()):
+                logger.info('%3d.  %-60s -> %s', i, name, arr.shape)
+
+        flat = traverse_util.flatten_dict(self.params, sep='/')
+        for new_name, value in flat.items():
+            source = (mapping or {}).get(new_name, new_name if new_name in old else None)
+            if source is None or source not in old:
+                logger.warning('mapping for %s not found', new_name)
+                continue
+            if old[source].shape != np.asarray(value).shape:
+                raise ValueError(f'{new_name}: shape mismatch '
+                                 f'{old[source].shape} vs {np.asarray(value).shape}')
+            flat[new_name] = old[source]
+            if verbose:
+                logger.info('%s <- %s %s', new_name, source, old[source].shape)
+
+        self.params = traverse_util.unflatten_dict(flat, sep='/')
+        self.init_optimizer()
+        self.reset_performance_stats()
+
+    def show_model(self, patch_size=None, batch_size=1):
+        """Tabulated architecture summary (flax) — the TPU-side analog of the
+        reference's keras graph visualization (helpers/tf_helpers.py:229)."""
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+        p = patch_size or self.patch_size or 64
+        channels = getattr(self, 'in_channels', 3)
+        dummy = jnp.zeros((batch_size, p, p, channels), dtype=jnp.float32)
+        return nn.tabulate(self._module, jax.random.PRNGKey(0))(dummy)
+
     @classmethod
     def restore(cls, dir_name, *, key=None, patch_size=None):
         candidates = sorted(Path(dir_name).glob('**/*.json'))
