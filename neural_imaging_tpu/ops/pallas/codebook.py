@@ -40,7 +40,7 @@ def _is_tpu():
         return False
 
 
-def _kernel(z_ref, cb_ref, soft_ref, hard_ref, counts_ref, *, n_codes, v, gamma):
+def _kernel(z_ref, cb_ref, soft_ref, hard_ref, *, n_codes, v, gamma):
     """One (SUBLANES, LANE) tile: two codeword-reduction passes + count update."""
     z = z_ref[:]
 
@@ -76,17 +76,6 @@ def _kernel(z_ref, cb_ref, soft_ref, hard_ref, counts_ref, *, n_codes, v, gamma)
     soft_ref[:] = acc / s
     hard_ref[:] = best
 
-    # accumulate per-codeword counts (grid iterations are sequential on TPU)
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        counts_ref[:] = jnp.zeros_like(counts_ref)
-
-    cb_lane = counts_ref.shape[1]
-    flat_best = best.reshape(-1, 1)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (flat_best.shape[0], cb_lane), 1)
-    onehot = (flat_best == lane_ids).astype(jnp.float32)
-    counts_ref[:] = counts_ref[:] + jnp.sum(onehot, axis=0, keepdims=True)
-
 
 def _pallas_forward(z_flat, codebook, v, gamma, interpret):
     n = z_flat.shape[0]
@@ -103,7 +92,7 @@ def _pallas_forward(z_flat, codebook, v, gamma, interpret):
                   constant_values=np.float32(codebook[0])).reshape(1, -1)
 
     kernel = functools.partial(_kernel, n_codes=n_codes, v=float(v), gamma=float(gamma))
-    soft, hard_idx, counts = pl.pallas_call(
+    soft, hard_idx = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -114,21 +103,19 @@ def _pallas_forward(z_flat, codebook, v, gamma, interpret):
         out_specs=[
             pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb_lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((1, cb_lane), jnp.float32),
         ],
         interpret=interpret,
     )(z2, cb2)
 
     soft = soft.reshape(-1)[:n]
     hard_idx = hard_idx.reshape(-1)[:n]
-    counts = counts[0, :n_codes]
-    # subtract padding contributions (pad values sit exactly on codebook[0])
-    counts = counts.at[0].add(-(padded - n))
+    # per-codeword assignment counts: a cheap XLA scatter-add epilogue (the O(N·L)
+    # weight work stays inside the kernel)
+    counts = jnp.zeros((n_codes,), jnp.float32).at[hard_idx].add(1.0)
     return soft, hard_idx, counts
 
 

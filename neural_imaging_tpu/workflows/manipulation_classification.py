@@ -139,6 +139,12 @@ class ManipulationClassification:
         self.params = self._collect_params()
         self.opt_state = self._tx.init(self._train_partition(self.params))
         self._jitted = {}
+        # Per-step NaN-gradient guard (parity with the reference's RuntimeError,
+        # workflows/manipulation_classification.py:281). Checking forces a host
+        # sync each step; set False to let steps pipeline and check via
+        # assert_finite() at validation boundaries instead.
+        self.nan_check = True
+        self._finite_flags = []
 
     # ------------------------------------------------------------------ properties
 
@@ -364,12 +370,24 @@ class ManipulationClassification:
             jnp.float32(lambda_nip), jnp.float32(lambda_dcn), jnp.float32(learning_rate),
             scalars, indices)
 
-        if not bool(finite):
-            raise RuntimeError('∇ NaNs encountered in the joint training step')
+        if self.nan_check:
+            if not bool(finite):
+                raise RuntimeError('∇ NaNs encountered in the joint training step')
+        else:
+            self._finite_flags.append(finite)
 
         self.params = {**fparams, **tparams}
         self._push_params_to_models()
         return loss, parts
+
+    def assert_finite(self):
+        """Deferred NaN-gradient check (used when nan_check=False)."""
+        import numpy as _np
+        if self._finite_flags:
+            flags = _np.asarray([bool(f) for f in self._finite_flags])
+            self._finite_flags = []
+            if not flags.all():
+                raise RuntimeError('∇ NaNs encountered in a joint training step')
 
     def _push_params_to_models(self):
         """Keep the component shells in sync so their save/validate APIs see the
