@@ -247,3 +247,46 @@ class TestManipulations:
         f = jax.jit(lambda x: manipulations.sharpen(manipulations.gaussian(x, 5, 1.0), 0.5))
         out = f(self.x)
         assert out.shape == self.x.shape
+
+
+class TestTracedManipulations:
+    """Traced-strength variants must match the static-filter implementations."""
+
+    def setup_method(self):
+        rng = np.random.default_rng(5)
+        self.x = jnp.array(rng.random((2, 32, 32, 3)).astype(np.float32))
+
+    def test_sharpen_traced_matches_static(self):
+        for s in [0.5, 1.0, 1.4]:
+            a = manipulations.sharpen(self.x, s)
+            b = manipulations.sharpen_traced(self.x, jnp.float32(s))
+            assert np.abs(np.asarray(a - b)).max() < 1e-5, s
+
+    def test_gaussian_traced_matches_static(self):
+        for s in [0.83, 2.0]:
+            a = manipulations.gaussian(self.x, 5, s)
+            b = manipulations.gaussian_traced(self.x, jnp.float32(s), 5)
+            assert np.abs(np.asarray(a - b)).max() < 1e-5, s
+
+    def test_jpeg_traced_matches_static_qtable(self):
+        from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
+        from neural_imaging_tpu.models.jpeg import jpeg_forward, jpeg_qtable_traced
+        for q in [30.0, 80.0]:
+            qt = np.asarray(jpeg_qtable_traced(jnp.float32(q), 0))
+            assert np.allclose(qt, jpeg_qtable(q, 0)), q
+
+    def test_switch_variants(self):
+        a = manipulations.resample_switch(self.x, jnp.int32(1), [40, 60, 80])
+        b = manipulations.resample(self.x, 60)
+        assert np.abs(np.asarray(a - b)).max() < 1e-6
+        m1 = manipulations.median_switch(self.x, jnp.int32(0), [3, 5])
+        m2 = manipulations.median(self.x, 3)
+        assert np.abs(np.asarray(m1 - m2)).max() < 1e-6
+
+    def test_traced_jit_no_recompile(self):
+        import functools
+        calls = jax.jit(lambda x, s: manipulations.sharpen_traced(x, s))
+        calls(self.x, jnp.float32(0.5))
+        n = calls._cache_size()
+        calls(self.x, jnp.float32(1.2))
+        assert calls._cache_size() == n
