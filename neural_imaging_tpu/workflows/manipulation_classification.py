@@ -34,7 +34,8 @@ N_STRENGTH_CANDIDATES = 8
 class ManipulationClassification:
 
     def __init__(self, nip_model, manipulations=None, distribution=None, fan_args=None,
-                 trainable=None, raw_patch_size=128, loss_metric='L2', rng_seed=0):
+                 trainable=None, raw_patch_size=128, loss_metric='L2', rng_seed=0,
+                 remat=False):
         """
         :param nip_model: '<nip class>[:dirname]' — NIP class + optional pretrained dir
         :param manipulations: list of '<name>[:strength]' specs
@@ -47,6 +48,9 @@ class ManipulationClassification:
         """
         if raw_patch_size < 16 or raw_patch_size > 512:
             raise ValueError(f'The patch size ({raw_patch_size}) looks incorrect')
+        # rematerialize ISP+manipulation activations in the backward pass — trades
+        # FLOPs for memory so the (K+1)-expanded batch fits HBM at large patches
+        self.remat = remat
 
         self._trainable = set() if trainable is None else set(trainable)
         self._trainable.add('fan')
@@ -235,9 +239,14 @@ class ManipulationClassification:
 
     def _forward(self, params, batch_x, key, q_luma, q_chroma,
                  strength_scalars=None, strength_indices=None):
-        batch_Y = self._nip_apply(params['nip'], batch_x)
-        batch_m = self._manipulate(batch_Y, key, strength_scalars, strength_indices)
-        batch_c = self._downsample(batch_m)
+        def acquire(nip_params, bx):
+            Y = self._nip_apply(nip_params, bx)
+            m = self._manipulate(Y, key, strength_scalars, strength_indices)
+            return Y, self._downsample(m)
+
+        if self.remat:
+            acquire = jax.checkpoint(acquire)
+        batch_Y, batch_c = acquire(params['nip'], batch_x)
         batch_C, entropy = self._compress(params, batch_c, q_luma, q_chroma)
         probabilities = self._fan_apply(params['fan'], batch_C)
         return batch_Y, batch_c, batch_C, entropy, probabilities

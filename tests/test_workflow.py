@@ -147,3 +147,18 @@ class TestTraining:
                 distribution={'downsampling': 'none', 'compression': 'none'},
                 trainable={'dcn'}, raw_patch_size=16,
                 fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1})
+
+
+class TestRemat:
+    def test_remat_matches_default(self, batch):
+        """jax.checkpoint over the acquisition stage must not change results."""
+        bx, by = batch
+        kwargs = dict(manipulations=['sharpen:1'],
+                      distribution={'downsampling': 'none', 'compression': 'none'},
+                      fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+                      trainable={'nip'}, raw_patch_size=16)
+        f1 = ManipulationClassification('INet', **kwargs)
+        f2 = ManipulationClassification('INet', remat=True, **kwargs)
+        l1, _ = f1.training_step(bx, by, lambda_nip=0.1)
+        l2, _ = f2.training_step(bx, by, lambda_nip=0.1)
+        assert abs(float(l1) - float(l2)) / max(abs(float(l1)), 1e-9) < 1e-5
