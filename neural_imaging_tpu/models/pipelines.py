@@ -447,6 +447,13 @@ class ClassicISP(NIPModel):
 
     def construct_model(self, srgb_mat=None, kernel=5, c_filters=(), cfa_pattern='gbrg',
                         residual=True, brightness=None):
+        if isinstance(c_filters, str):
+            # JSON stores tuples as strings, e.g. "(16,)" (same convention as the
+            # reference's training logs)
+            import ast
+            c_filters = ast.literal_eval(c_filters)
+        if isinstance(c_filters, (int, float)):
+            c_filters = (int(c_filters),)
         self._h = paramspec.ParamSpec({
             'kernel': (5, int, (3, 11)),
             'c_filters': ((), tuple, paramspec.numbers_in_range(int, 1, 1024)),
@@ -469,7 +476,8 @@ class ClassicISP(NIPModel):
         self.__dict__.pop('_jit_train_step', None)
 
     def _apply(self, params, batch_x):
-        srgb = jnp.asarray(self._srgb_mat.T, dtype=jnp.float32)
+        # the core's einsum computes out_k = Σ_c M[k, c] · rgb_c — pass M directly
+        srgb = jnp.asarray(self._srgb_mat, dtype=jnp.float32)
         return self._module.apply({'params': params}, batch_x, srgb_mat=srgb)
 
     def set_cfa_pattern(self, cfa_pattern):
