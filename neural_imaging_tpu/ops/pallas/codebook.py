@@ -126,7 +126,6 @@ def _codeword_weight_matrix(codebook, v, gamma):
     return jax.nn.softmax(logw, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def quantize_with_entropy_pallas(z, codebook, v=50.0, gamma=25.0, interpret=None):
     """
     Fused soft-codebook quantization + entropy of the quantized latent.
@@ -134,13 +133,19 @@ def quantize_with_entropy_pallas(z, codebook, v=50.0, gamma=25.0, interpret=None
     rounding='soft-codebook' and a non-trainable codebook.
     Returns (quantized, entropy_bits, histogram).
     """
+    if interpret is None:
+        interpret = not _is_tpu()  # resolve eagerly: a concrete nondiff argument
+    cb_key = tuple(float(c) for c in np.asarray(codebook).reshape(-1))
+    return _quantize_with_entropy_vjp(z, cb_key, float(v), float(gamma), bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _quantize_with_entropy_vjp(z, codebook, v, gamma, interpret):
     q, h, hist, _ = _fwd_impl(z, codebook, v, gamma, interpret)
     return q, h, hist
 
 
 def _fwd_impl(z, codebook, v, gamma, interpret):
-    if interpret is None:
-        interpret = not _is_tpu()
     shape = z.shape
     z_flat = z.reshape(-1).astype(jnp.float32)
     soft, hard_idx, counts = _pallas_forward(z_flat, np.asarray(codebook, np.float32),
@@ -159,11 +164,12 @@ def _fwd_impl(z, codebook, v, gamma, interpret):
 
 def _fwd(z, codebook, v, gamma, interpret):
     q, h, hist, residuals = _fwd_impl(z, codebook, v, gamma, interpret)
-    return (q, h, hist), (*residuals, jnp.asarray(codebook, jnp.float32))
+    return (q, h, hist), residuals
 
 
-def _bwd(v, gamma, interpret, residuals, cotangents):
-    z, hard_idx, histogram, cb = residuals
+def _bwd(codebook, v, gamma, interpret, residuals, cotangents):
+    z, hard_idx, histogram = residuals
+    cb = jnp.asarray(codebook, jnp.float32)
     g_q, g_h, g_hist = cotangents
 
     z_flat = z.reshape(-1).astype(jnp.float32)
@@ -204,7 +210,7 @@ def _bwd(v, gamma, interpret, residuals, cotangents):
     entropy_term = per_codeword[hard_idx] / n                  # (N,)
 
     dz = (g_q.reshape(-1) + entropy_term) * dsoft_dz
-    return (dz.reshape(z.shape), jnp.zeros_like(cb))
+    return (dz.reshape(z.shape),)
 
 
-quantize_with_entropy_pallas.defvjp(_fwd, _bwd)
+_quantize_with_entropy_vjp.defvjp(_fwd, _bwd)
