@@ -143,9 +143,8 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
                 learning_rate = lr_schedule[epoch]
 
             loss_local = []
-            for batch_id in range(n_batches):
-                bx, by = data.next_training_batch(batch_id, batch_size, 2 * patch_size,
-                                                  discard=discard)
+            from neural_imaging_tpu.data.prefetch import EpochPrefetcher
+            for bx, by in EpochPrefetcher(data, batch_size, 2 * patch_size, discard):
                 loss = model.training_step(bx, by, learning_rate)
                 loss_local.append(loss)
             model.log_metric('loss', 'training', np.asarray(loss_local, dtype=np.float64))

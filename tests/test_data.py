@@ -151,3 +151,29 @@ class TestRawPipeline:
         # development approximately inverts the simulated capture
         err = np.abs(rgb[4:-4, 4:-4] - img[4:-4, 4:-4]).mean()
         assert err < 0.05
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_batches(self, rng):
+        from neural_imaging_tpu.data.prefetch import prefetch
+        batches = [rng.random((2, 4, 4, 3)).astype(np.float32) for _ in range(5)]
+        out = list(prefetch(iter(batches), size=2, device_put=False))
+        assert len(out) == 5
+        for a, b in zip(batches, out):
+            assert np.allclose(a, b)
+
+    def test_prefetch_tuples_to_device(self, rng):
+        from neural_imaging_tpu.data.prefetch import prefetch
+        batches = [(rng.random((2, 4, 4, 4)).astype(np.float32),
+                    rng.random((2, 8, 8, 3)).astype(np.float32)) for _ in range(3)]
+        out = list(prefetch(iter(batches), size=2))
+        assert len(out) == 3
+        assert hasattr(out[0][0], 'devices')  # on device
+
+    def test_prefetch_propagates_errors(self):
+        from neural_imaging_tpu.data.prefetch import prefetch
+        def bad():
+            yield np.zeros((1,))
+            raise RuntimeError('boom')
+        with pytest.raises(RuntimeError):
+            list(prefetch(bad(), device_put=False))
