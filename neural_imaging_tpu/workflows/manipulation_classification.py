@@ -128,8 +128,10 @@ class ManipulationClassification:
         else:
             raise ValueError(f'Unsupported channel compression {compression}')
 
-        if 'dcn' in self._trainable and (self.codec is None or
-                                         not hasattr(self.codec, '_apply')):
+        codec_is_trainable = (self.codec is not None and
+                              (hasattr(self.codec, '_apply') or          # DCN
+                               getattr(self.codec, 'trainable', False)))  # JPEG qtables
+        if 'dcn' in self._trainable and not codec_is_trainable:
             raise ValueError('The current codec does not appear to be trainable!')
 
         # -- FAN -----------------------------------------------------------------

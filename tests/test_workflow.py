@@ -162,3 +162,23 @@ class TestRemat:
         l1, _ = f1.training_step(bx, by, lambda_nip=0.1)
         l2, _ = f2.training_step(bx, by, lambda_nip=0.1)
         assert abs(float(l1) - float(l2)) / max(abs(float(l1)), 1e-9) < 1e-5
+
+
+class TestTrainableJPEG:
+    def test_qtables_update_in_joint_training(self, batch):
+        """A trainable dJPEG channel must receive gradients through the chain."""
+        bx, by = batch
+        f = ManipulationClassification(
+            'INet', manipulations=['sharpen:1'],
+            distribution={'downsampling': 'none', 'compression': 'jpeg',
+                          'compression_params': {'quality': 50, 'codec': 'soft',
+                                                 'trainable': True}},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+            trainable={'dcn'}, raw_patch_size=16)
+        q0 = np.array(f.codec._model.q_mtx_luma)
+        for _ in range(3):
+            loss, parts = f.training_step(bx, by, lambda_dcn=0.5)
+        assert np.isfinite(float(loss))
+        q1 = np.array(f.codec._model.q_mtx_luma)
+        assert not np.allclose(q0, q1), 'quantization tables did not update'
+        assert 1 <= f.codec.estimate_qf() <= 100
