@@ -17,8 +17,6 @@ import numpy as np
 
 from neural_imaging_tpu.data import loading
 from neural_imaging_tpu.data.loading import sample_patch
-from neural_imaging_tpu.utils.utils import logger
-
 _SEARCH_ROOTS = ('data/raw/training_data', 'data/rgb')
 
 

@@ -21,7 +21,7 @@ import numpy as np
 import optax
 from flax import traverse_util
 
-from neural_imaging_tpu.utils import jsonlog, utils
+from neural_imaging_tpu.utils import utils
 from neural_imaging_tpu.utils.utils import logger
 
 

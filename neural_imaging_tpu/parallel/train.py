@@ -7,7 +7,6 @@ Works with every trainer in the framework (NIP, DCN, FAN, and the joint workflow
 the jitted steps are pure functions of (params, opt_state, batch, ...), so sharding
 is fully determined by input placement — no step rewrites needed.
 """
-import jax
 import jax.numpy as jnp
 
 from neural_imaging_tpu.parallel import mesh as mesh_lib
