@@ -143,14 +143,15 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
 
     epoch = 0
     with tqdm(total=training['n_epochs'], ncols=120, desc='Train') as pbar:
+        from neural_imaging_tpu.data.prefetch import EpochPrefetcher
+        prefetcher = EpochPrefetcher(data, training['batch_size'],
+                                     2 * training['patch_size'], discard='flat')
         for epoch in range(training['n_epochs']):
-            for batch_id in range(n_batches):
+            for batch in prefetcher:
                 if data._loaded_data == 'xy':
-                    batch_x, batch_y = data.next_training_batch(
-                        batch_id, training['batch_size'], 2 * training['patch_size'])
+                    batch_x, batch_y = batch
                 else:
-                    batch_x = data.next_training_batch(
-                        batch_id, training['batch_size'], 2 * training['patch_size'])
+                    batch_x = batch
                     batch_y = batch_x
 
                 comb_loss, comp_loss = flow.training_step(
