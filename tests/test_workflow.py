@@ -182,3 +182,17 @@ class TestTrainableJPEG:
         q1 = np.array(f.codec._model.q_mtx_luma)
         assert not np.allclose(q0, q1), 'quantization tables did not update'
         assert 1 <= f.codec.estimate_qf() <= 100
+
+
+class TestOtherNIPsInWorkflow:
+    @pytest.mark.parametrize('nip', ['ClassicISP', 'UNet', 'DNet'])
+    def test_workflow_with_nip(self, nip, batch):
+        bx, by = batch
+        f = ManipulationClassification(
+            nip, manipulations=['sharpen:1'],
+            distribution={'downsampling': 'none', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+            trainable={'nip'} if nip != 'ClassicISP' else None,
+            raw_patch_size=16)
+        loss, _ = f.training_step(bx, by, lambda_nip=0.1)
+        assert np.isfinite(float(loss))
