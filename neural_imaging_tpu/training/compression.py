@@ -87,8 +87,12 @@ def save_progress(dcn, data, training, out_dir):
 
 
 def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
-              overwrite=False, rng=None):
-    """Train a DCN; returns the model output directory."""
+              overwrite=False, rng=None, scalar_log=True):
+    """Train a DCN; returns the model output directory.
+
+    ``scalar_log`` appends per-epoch scalars to ``scalars.jsonl`` in the output
+    directory — the TPU build's counterpart of the reference's optional
+    TensorBoard summaries (training/compression.py:247-274)."""
     spec = default_training_spec()
     spec.update(training or {})
     training = spec
@@ -108,6 +112,11 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     print(f'Output directory: {out_dir}', flush=True)
+
+    scalars = None
+    if scalar_log:
+        from neural_imaging_tpu.utils.profiling import ScalarLog
+        scalars = ScalarLog(os.path.join(out_dir, 'scalars.jsonl'))
 
     with tqdm(total=training['n_epochs'], ncols=160,
               desc=dcn.model_code.split('/')[-1]) as pbar:
@@ -149,6 +158,12 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
 
             scaling = (float(np.asarray(dcn.params['latent_scale']))
                        if dcn._h.scale_latent else np.nan)
+            if scalars is not None:
+                scalars.log(epoch, loss=perf['loss']['training'][-1],
+                            ssim=perf['ssim']['training'][-1],
+                            entropy=perf['entropy']['training'][-1],
+                            lr=learning_rate,
+                            scaling=0.0 if np.isnan(scaling) else scaling)
             codebook = dcn.get_codebook()
 
             if epoch % training['validation_schedule'] == 0:
@@ -203,4 +218,6 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
 
     save_progress(dcn, data, training, out_dir)
     dcn.save_model(out_dir, quiet=True)
+    if scalars is not None:
+        scalars.close()
     return out_dir
