@@ -134,8 +134,12 @@ class FAN(TPUModel):
         from neural_imaging_tpu.utils.runtime import maybe_jit
         self.params = maybe_jit(self._module.init)(jax.random.PRNGKey(seed), dummy)['params']
 
-    def _apply(self, params, batch_x, train=False):
-        return self._module.apply({'params': params}, batch_x, train=train)
+    def _apply(self, params, batch_x, train=False, dropout_key=None):
+        rngs = None
+        if train and self._h.dropout > 0:
+            rngs = {'dropout': dropout_key if dropout_key is not None
+                    else jax.random.PRNGKey(0)}
+        return self._module.apply({'params': params}, batch_x, train=train, rngs=rngs)
 
     def loss(self, target_labels, class_probabilities):
         return sparse_categorical_crossentropy(jnp.asarray(target_labels),
@@ -155,17 +159,20 @@ class FAN(TPUModel):
 
     def training_step(self, batch_x, target_labels, learning_rate=None):
         if '_jit_train' not in self._jitted:
-            def step(params, opt_state, x, labels, lr):
+            def step(params, opt_state, x, labels, lr, key):
                 def loss_of(p):
-                    return self.loss(labels, self._apply(p, x, train=True))
+                    return self.loss(labels, self._apply(p, x, train=True,
+                                                         dropout_key=key))
                 loss, grads = jax.value_and_grad(loss_of)(params)
                 params, opt_state = self.optimizer_update(grads, opt_state, params, lr)
                 return params, opt_state, loss
             self._jitted['_jit_train'] = jax.jit(step, donate_argnums=(0, 1))
+            self._dropout_key = jax.random.PRNGKey(17)
         lr = jnp.float32(1e-4 if learning_rate is None else learning_rate)
+        self._dropout_key, subkey = jax.random.split(self._dropout_key)
         self.params, self.opt_state, loss = self._jitted['_jit_train'](
             self.params, self.opt_state, jnp.asarray(batch_x, jnp.float32),
-            jnp.asarray(target_labels), lr)
+            jnp.asarray(target_labels), lr, subkey)
         return loss
 
     def reset_performance_stats(self):

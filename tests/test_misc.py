@@ -76,3 +76,16 @@ class TestShellScripts:
     def test_scripts_are_executable(self):
         for script in ['train_manipulation_batch.sh', 'test_fan_batch.sh']:
             assert os.access(script, os.X_OK), script
+
+
+class TestFANDropout:
+    def test_training_with_dropout(self):
+        import numpy as np
+        from neural_imaging_tpu.models.forensics import FAN
+        f = FAN(n_classes=3, patch_size=16, n_convolutions=2, n_filters=8,
+                n_dense=2, dropout=0.3, use_gap=True)
+        x = np.random.default_rng(0).random((4, 16, 16, 3)).astype(np.float32)
+        labels = np.array([0, 1, 2, 0])
+        l1 = float(f.training_step(x, labels, 1e-3))
+        l2 = float(f.training_step(x, labels, 1e-3))
+        assert np.isfinite(l1) and np.isfinite(l2)
