@@ -24,8 +24,16 @@ from train_nip import parse_json_arg, parse_split
 def main():
     parser = argparse.ArgumentParser(description='Joint workflow optimization')
     parser.add_argument('--nip', default='UNet')
-    parser.add_argument('--cam', default='D90')
+    parser.add_argument('--cam', dest='cameras', action='append', default=None,
+                        help='camera/dataset name (repeat for multiple cameras)')
     parser.add_argument('--data', default=None)
+    parser.add_argument('--loss', dest='loss_metric', default='L2',
+                        choices=['L2', 'L1', 'SSIM'], help='NIP loss metric')
+    parser.add_argument('--scratch', action='store_true',
+                        help='train the NIP from scratch (skip pre-trained weights)')
+    parser.add_argument('--jpeg_mode', default='soft',
+                        choices=['soft', 'sin', 'harmonic'],
+                        help='dJPEG rounding approximation for the channel')
     parser.add_argument('--split', default='120:30:4')
     parser.add_argument('--epochs', type=int, default=1001)
     parser.add_argument('--patch', type=int, default=64, help='RAW patch size')
@@ -68,7 +76,8 @@ def main():
         quality = ([int(q) for q in args.jpeg.split(',')] if ',' in args.jpeg
                    else int(args.jpeg))
         distribution = {'downsampling': args.ds, 'compression': 'jpeg',
-                        'compression_params': {'quality': quality, 'codec': 'soft'}}
+                        'compression_params': {'quality': quality,
+                                               'codec': args.jpeg_mode}}
     else:
         distribution = {'downsampling': args.ds, 'compression': 'none'}
 
@@ -78,22 +87,25 @@ def main():
 
     n_images, v_images, val_n_patches = parse_split(args.split)
     load = 'y' if args.nip == 'ONet' else 'xy'
-    data = Dataset(args.data or args.cam, load=load, n_images=n_images,
-                   v_images=v_images, val_rgb_patch_size=2 * args.patch,
-                   val_n_patches=val_n_patches)
-
+    cameras = args.cameras or ['D90']
     ln_sweep = args.ln if 'nip' in trainable else [0.0]
     lc_sweep = args.lc if 'dcn' in trainable else [0.0]
 
-    for run, ln, lc in itertools.product(range(args.start, args.end), ln_sweep, lc_sweep):
-        print(f'\n# Run {run}: λ_nip={ln} λ_dcn={lc} trainable={sorted(trainable)}')
+    for cam in cameras:
+      data = Dataset(args.data or cam, load=load, n_images=n_images,
+                     v_images=v_images, val_rgb_patch_size=2 * args.patch,
+                     val_n_patches=val_n_patches)
+
+      for run, ln, lc in itertools.product(range(args.start, args.end), ln_sweep, lc_sweep):
+        print(f'\n# {cam} run {run}: λ_nip={ln} λ_dcn={lc} trainable={sorted(trainable)}')
         flow = ManipulationClassification(
             args.nip, manipulations=manipulations, distribution=distribution,
-            fan_args=fan_args, trainable=trainable, raw_patch_size=args.patch)
+            fan_args=fan_args, trainable=trainable, raw_patch_size=args.patch,
+            loss_metric=args.loss_metric)
 
         training = {
-            'camera_name': args.cam,
-            'use_pretrained_nip': args.nip != 'ONet',
+            'camera_name': cam,
+            'use_pretrained_nip': args.nip != 'ONet' and not args.scratch,
             'patch_size': args.patch,
             'batch_size': args.batch,
             'n_epochs': args.epochs,

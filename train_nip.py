@@ -72,6 +72,8 @@ def main():
     parser.add_argument('--hp', default=None, help='CSV with hyper-param scenarios')
     parser.add_argument('--val-schedule', type=int, default=100)
     parser.add_argument('--cameras-config', default='config/cameras.json')
+    parser.add_argument('-f', '--fill', default=None,
+                        help="summarize trained models: '-' to print, or a CSV path")
     args = parser.parse_args()
 
     setup_logging()
@@ -79,6 +81,18 @@ def main():
     from neural_imaging_tpu.data.dataset import Dataset
     from neural_imaging_tpu.models import pipelines
     from neural_imaging_tpu.training.pipeline import train_nip_model
+
+    if args.fill is not None:
+        from neural_imaging_tpu.utils import results_data
+        df = results_data.nip_stats(args.out)
+        if args.fill == '-':
+            print(df.to_string(index=False))
+        elif args.fill.endswith('.csv'):
+            df.to_csv(args.fill, index=False)
+            print(f'Saved results to {args.fill}')
+        else:
+            raise ValueError(f'Invalid value for the results file: {args.fill}')
+        return
 
     nip_name = match_option(args.nip, pipelines.supported_models)
     scenarios = get_scenarios(args.hp) if args.hp else [parse_json_arg(args.params)]
