@@ -70,12 +70,12 @@ def bench_nip(cls_name='INet', **kwargs):
     emit(f'{cls_name} demosaicing throughput (512x512 outputs)', mp / dt, 'MP/s')
 
 
-def bench_joint():
+def bench_joint(nip='INet'):
     import jax
     import numpy as np
     from neural_imaging_tpu.workflows import ManipulationClassification
     flow = ManipulationClassification(
-        'INet', manipulations=['sharpen', 'resample', 'gaussian', 'jpeg'],
+        nip, manipulations=['sharpen', 'resample', 'gaussian', 'jpeg'],
         distribution={'downsampling': 'pool:2', 'compression': 'jpeg',
                       'compression_params': {'quality': 50, 'codec': 'soft'}},
         fan_args={}, trainable={'nip'}, raw_patch_size=64)
@@ -94,7 +94,7 @@ def bench_joint():
     jax.block_until_ready(loss)
     flow.assert_finite()
     dt = (time.perf_counter() - t0) / iters
-    emit('joint NIP+dJPEG+FAN train step (batch 20, raw patch 64, 5 classes)',
+    emit(f'joint {nip}+dJPEG+FAN train step (batch 20, raw patch 64, 5 classes)',
          1 / dt, 'steps/s', baseline=2.0)
 
 
@@ -131,5 +131,6 @@ if __name__ == '__main__':
     bench_djpeg()
     bench_nip('INet')
     bench_nip('UNet')
-    bench_joint()
+    bench_joint('INet')
+    bench_joint('UNet')
     bench_dcn()
