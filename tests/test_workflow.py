@@ -196,3 +196,18 @@ class TestOtherNIPsInWorkflow:
             raw_patch_size=16)
         loss, _ = f.training_step(bx, by, lambda_nip=0.1)
         assert np.isfinite(float(loss))
+
+
+class TestDeterminism:
+    def test_same_seed_same_trajectory(self, batch):
+        bx, by = batch
+        kwargs = dict(manipulations=['sharpen:1', 'gaussian:1'],
+                      distribution={'downsampling': 'none', 'compression': 'none'},
+                      fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+                      trainable={'nip'}, raw_patch_size=16, rng_seed=42)
+        f1 = ManipulationClassification('INet', **kwargs)
+        f2 = ManipulationClassification('INet', **kwargs)
+        for _ in range(3):
+            l1, _ = f1.training_step(bx, by, lambda_nip=0.1)
+            l2, _ = f2.training_step(bx, by, lambda_nip=0.1)
+        assert float(l1) == float(l2)
