@@ -92,8 +92,8 @@ def bench_joint(nip='INet'):
     for _ in range(iters):
         loss, _ = flow.training_step(bx, by, lambda_nip=0.1)
     jax.block_until_ready(loss)
-    flow.assert_finite()
     dt = (time.perf_counter() - t0) / iters
+    flow.assert_finite()  # after timing: each flag read is a host round trip
     emit(f'joint {nip}+dJPEG+FAN train step (batch 20, raw patch 64, 5 classes)',
          1 / dt, 'steps/s', baseline=2.0)
 
