@@ -392,10 +392,10 @@ class ManipulationClassification:
         return loss, parts
 
     def assert_finite(self):
-        """Deferred NaN-gradient check (used when nan_check=False)."""
-        import numpy as _np
+        """Deferred NaN-gradient check (used when nan_check=False). Flags are
+        stacked on device so the check costs one transfer, not one per step."""
         if self._finite_flags:
-            flags = _np.asarray([bool(f) for f in self._finite_flags])
+            flags = np.asarray(jnp.stack(self._finite_flags))
             self._finite_flags = []
             if not flags.all():
                 raise RuntimeError('∇ NaNs encountered in a joint training step')
