@@ -42,8 +42,38 @@ def codebook_log_weights(x, codebook, v=50.0, gamma=25.0):
     return -(v + 1.0) / 2.0 * jnp.log1p(jnp.square(dd) / v)
 
 
+def _int_power(t, n):
+    """t**n for a static positive integer n via repeated squaring (VPU-only)."""
+    result = None
+    square = t
+    while n:
+        if n & 1:
+            result = square if result is None else result * square
+        square = square * square
+        n >>= 1
+    return result
+
+
 def codebook_weights(x, codebook, v=50.0, gamma=25.0):
-    """Normalized (softmax) kernel weights, shape (..., L)."""
+    """Normalized kernel weights, shape (..., L).
+
+    Fast path for integer t-Student ν (the default ν=50): the unnormalized weight
+    (1 + (γd)²/ν)^(-(ν+1)/2) is evaluated as rsqrt(t^(ν+1)) by repeated squaring —
+    no transcendentals, and no overflow risk since the maximum weight is 1
+    (normalization then only divides by a sum ≥ the max). Other kernels use the
+    numerically-stable log-space softmax."""
+    if v > 0 and float(v).is_integer() and int(v) + 1 <= 128:
+        d = gamma * (x[..., None] - codebook)
+        t = 1.0 + d * d / v
+        # normalize by the row minimum (exact: the ratio keeps the same exponent),
+        # so the largest weight is exactly 1 and far tails shrink instead of the
+        # head overflowing; clamp below the f32-overflow point of t^(ν+1) so the
+        # backward pass never sees inf (tail weights saturate at ~1e-19)
+        t = t / jnp.min(t, axis=-1, keepdims=True)
+        t_max = 0.9 * float(3.0e38 ** (1.0 / (int(v) + 1)))
+        t = jnp.minimum(t, t_max)
+        w = jax.lax.rsqrt(_int_power(t, int(v) + 1))
+        return w / jnp.sum(w, axis=-1, keepdims=True)
     return jax.nn.softmax(codebook_log_weights(x, codebook, v, gamma), axis=-1)
 
 
