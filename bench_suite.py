@@ -22,14 +22,21 @@ configure_jax()
 
 
 def timeit(fn, *args, iters=20, warmup=3):
+    """Time fn over distinct input variants: repeated identical calls can be
+    deduplicated/cached by the runtime and report impossibly fast times."""
     import jax
-    for _ in range(warmup):
-        out = fn(*args)
+    import jax.numpy as jnp
+    variants = [tuple(jnp.asarray(a) * (1.0 - 0.001 * k) if hasattr(a, 'dtype')
+                      and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a
+                      for a in args) for k in range(4)]
+    for v in variants:
+        out = fn(*v)
     jax.block_until_ready(out)
+    outs = []
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        outs.append(fn(*variants[i % 4]))
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 
