@@ -195,6 +195,32 @@ class TPUModel:
         self.init_optimizer()
         self.reset_performance_stats()
 
+    def save_checkpoint(self, dirname, step=0, keep=3):
+        """
+        Orbax checkpoint of the FULL training state (params + optimizer state) —
+        the TPU-native complement to save_model's portable npz weights (SURVEY.md
+        §5: checkpoint/resume). Supports sharded arrays on multi-device meshes.
+        """
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(dirname, 'orbax'))
+        with ocp.CheckpointManager(
+                path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)) as mgr:
+            mgr.save(step, args=ocp.args.StandardSave(
+                {'params': self.params, 'opt_state': self.opt_state}))
+        return path
+
+    def load_checkpoint(self, dirname, step=None):
+        """Restore params + optimizer state from an orbax checkpoint."""
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(dirname, 'orbax'))
+        with ocp.CheckpointManager(path) as mgr:
+            step = mgr.latest_step() if step is None else step
+            target = {'params': self.params, 'opt_state': self.opt_state}
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        self.params = restored['params']
+        self.opt_state = restored['opt_state']
+        return step
+
     def migrate_model(self, dirname, mapping=None, verbose=False):
         """
         Migrate weights from a checkpoint with different parameter names

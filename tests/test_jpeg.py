@@ -141,3 +141,22 @@ class TestDifferentiableJPEG:
     def test_lazy_singleton(self, images):
         out = jpeg_models.differentiable_jpeg(images[:1], 60)
         assert np.asarray(out).shape == images[:1].shape
+
+
+class TestSubsampling:
+    def test_chroma_subsampling_modes(self, images):
+        sizes = {}
+        for mode in ['4:4:4', '4:2:2', '4:2:0']:
+            _, nbytes = jpeg_helpers.compress_batch(images[0], 75, subsampling=mode)
+            sizes[mode] = nbytes
+        assert sizes['4:2:0'] < sizes['4:4:4']
+
+    def test_rounding_mode_quality_order(self, images):
+        """'sin' keeps values off-grid (lower fidelity vs hard-round forward)."""
+        from neural_imaging_tpu.models.jpeg import JPEG
+        psnrs = {}
+        for mode in ['soft', 'sin', 'harmonic']:
+            codec = JPEG(50, mode)
+            out = np.asarray(codec.process(images[:1], 50))
+            psnrs[mode] = float(np.mean(metrics.psnr(images[:1], out)))
+        assert all(20 < v < 60 for v in psnrs.values()), psnrs

@@ -89,3 +89,23 @@ class TestFANDropout:
         l1 = float(f.training_step(x, labels, 1e-3))
         l2 = float(f.training_step(x, labels, 1e-3))
         assert np.isfinite(l1) and np.isfinite(l2)
+
+
+class TestOrbaxCheckpoint:
+    def test_full_state_roundtrip(self, tmp_path):
+        import numpy as np
+        from neural_imaging_tpu.models import pipelines
+        m = pipelines.INet(patch_size=16)
+        x = np.random.default_rng(0).random((2, 16, 16, 4)).astype(np.float32)
+        y = np.random.default_rng(1).random((2, 32, 32, 3)).astype(np.float32)
+        m.training_step(x, y, 1e-3)
+        m.save_checkpoint(str(tmp_path), step=1)
+
+        m2 = pipelines.INet(patch_size=16)
+        step = m2.load_checkpoint(str(tmp_path))
+        assert step == 1
+        assert np.allclose(np.asarray(m2.process(x)), np.asarray(m.process(x)), atol=1e-6)
+        # optimizer state restored too (same next step → same params)
+        l1 = float(m.training_step(x, y, 1e-3))
+        l2 = float(m2.training_step(x, y, 1e-3))
+        assert abs(l1 - l2) < 1e-4
