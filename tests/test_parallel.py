@@ -96,3 +96,22 @@ class TestGraftEntry:
             pytest.skip('needs multiple devices')
         import __graft_entry__ as ge
         ge.dryrun_multichip(4)
+
+
+class TestSpatialSharding:
+    def test_full_image_isp_spatially_sharded(self, rng):
+        """Full-resolution ISP inference with the image height sharded over a 2-D
+        ('data','space') mesh must match the unsharded result (XLA inserts the
+        conv halo exchanges)."""
+        import jax
+        from neural_imaging_tpu.models import pipelines
+        if len(jax.devices()) < 8:
+            pytest.skip('needs 8 devices')
+        mesh = make_mesh(8, axes=('data', 'space'))
+        m = pipelines.INet(patch_size=None)
+        image = rng.random((2, 64, 64, 4)).astype(np.float32)
+
+        ref = np.asarray(m.process(image))
+        sharded = jax.device_put(image, mesh_lib.spatial_sharding(mesh))
+        out = np.asarray(m.process(sharded))
+        assert np.allclose(out, ref, atol=1e-5)
