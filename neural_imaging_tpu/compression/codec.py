@@ -178,6 +178,39 @@ def global_compress(dcn, batch_x):
     return entropy.compress(indices.tobytes())
 
 
+def coded_bytes_callback(code_book):
+    """
+    A jittable rate probe: returns fn(latent) → real coded size in bytes, computed
+    on host (vq + rANS with the RLE/raw fallbacks) via ``jax.pure_callback`` —
+    actual bitstream rates inside otherwise-jitted validation flows (the
+    host/device choreography called out in SURVEY.md §7 hard-part 3).
+
+    :param code_book: static numpy codebook (host side of the closure)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    code_book = np.asarray(code_book, np.float64).reshape(-1)
+
+    def host_count(batch_z):
+        batch_z = np.asarray(batch_z)
+        total = 0
+        for n in range(batch_z.shape[-1]):
+            indices = _vq(batch_z[..., n], code_book)
+            try:
+                total += len(entropy.compress(indices.tobytes()))
+            except entropy.ANSSymbolRepetitionError:
+                total += 3
+            except entropy.ANSNotCompressibleError:
+                total += len(indices)
+        return np.int32(total)
+
+    def coded_bytes(latent):
+        return jax.pure_callback(host_count,
+                                 jax.ShapeDtypeStruct((), jnp.int32), latent)
+    return coded_bytes
+
+
 def restore(dir_name, patch_size=None, fetch_stats=False):
     """Preset-aware DCN restore, e.g. ``codec.restore('16c')``
     (presets in config/presets/compression.json)."""

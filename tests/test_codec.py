@@ -103,3 +103,27 @@ class TestBitstreamCodec:
         restored = codec.restore('8c')
         assert np.allclose(np.asarray(restored.process(image)),
                            np.asarray(dcn.process(image)), atol=1e-6)
+
+
+class TestHostCallback:
+    def test_coded_bytes_inside_jit(self):
+        """Real coded sizes must be obtainable inside a jitted function."""
+        import jax
+        import jax.numpy as jnp
+        from neural_imaging_tpu.models.compression import TwitterDCN
+        from neural_imaging_tpu.data import fixtures
+
+        dcn = TwitterDCN(patch_size=32, n_features=8)
+        probe = codec.coded_bytes_callback(dcn.get_codebook())
+
+        @jax.jit
+        def validate(params, x):
+            z, _ = dcn._apply_encoder(params, x)
+            return probe(z), jnp.mean(z)
+
+        image = fixtures.kodak_like_batch(n=1, height=32, width=32)
+        nbytes, _ = validate(dcn.params, jnp.asarray(image))
+        # compare against the eager bitstream (same coding, minus the header)
+        blob = codec.compress(image, dcn)
+        assert 0 < int(nbytes) <= len(blob)
+        assert abs(int(nbytes) - len(blob)) < 64  # header + length table
