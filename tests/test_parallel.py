@@ -115,3 +115,29 @@ class TestSpatialSharding:
         sharded = jax.device_put(image, mesh_lib.spatial_sharding(mesh))
         out = np.asarray(m.process(sharded))
         assert np.allclose(out, ref, atol=1e-5)
+
+
+class TestMultihost:
+    def test_single_process_noops(self):
+        from neural_imaging_tpu.parallel import multihost
+        assert multihost.initialize() is False
+        assert multihost.is_primary() is True
+        start, size = multihost.local_batch_slice(32)
+        assert (start, size) == (0, 32)
+        assert multihost.sync_global_value(3.5) == 3.5
+
+    def test_primary_only_decorator(self):
+        from neural_imaging_tpu.parallel import multihost
+        calls = []
+
+        @multihost.primary_only
+        def write(x):
+            calls.append(x)
+            return x
+        assert write(1) == 1
+        assert calls == [1]
+
+    def test_global_mesh(self):
+        from neural_imaging_tpu.parallel import multihost
+        mesh = multihost.global_mesh()
+        assert mesh.shape['data'] >= 1
