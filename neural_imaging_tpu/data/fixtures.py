@@ -110,3 +110,88 @@ def make_dataset(directory, n_images=8, height=256, width=384, seed=1000,
 def kodak_like_batch(n=4, height=512, width=768, seed=77):
     """Procedural stand-in for the Kodak benchmark set (float32 RGB in [0,1])."""
     return np.stack([procedural_image(height, width, seed + i) for i in range(n)]).astype(np.float32)
+
+
+# -----------------------------------------------------------------------------------
+# Real photographic content (non-procedural fixtures)
+# -----------------------------------------------------------------------------------
+
+def real_photo():
+    """A real photograph as float RGB in [0,1] (even dimensions), or None when no
+    photographic sample is available in the environment. Currently sources the
+    public-domain portrait shipped with matplotlib."""
+    try:
+        import matplotlib
+        base = matplotlib.get_data_path()
+    except ImportError:
+        return None
+    path = os.path.join(base, 'sample_data', 'grace_hopper.jpg')
+    if not os.path.isfile(path):
+        return None
+    im = imageio.imread(path).astype(np.float64) / 255.0
+    h, w = (im.shape[0] // 2) * 2, (im.shape[1] // 2) * 2
+    return im[:h, :w, :3]
+
+
+def make_dng_capture(filename, image_rgb=None, cfa_pattern='RGGB', seed=0,
+                     cam_mul=(2.0, 1.0, 1.5, 1.0), cam2srgb='example',
+                     black=512, white=16383, camera='SimCam-DNG'):
+    """
+    Simulate a 14-bit camera capture and write it as a real uncompressed DNG file
+    (parsable by any DNG-aware tool): sRGB scene → linear → camera color space →
+    inverse white balance → CFA mosaic → black level/quantization → DNG container
+    with ColorMatrix1/AsShotNeutral metadata.
+
+    With ``image_rgb=None`` uses the environment's real photograph (falling back to
+    a procedural scene), so the full camera→training-pair ingestion path is
+    exercised on genuine photographic content.
+    """
+    from neural_imaging_tpu.data import dng
+    from neural_imaging_tpu.ops.kernels import EXAMPLE_SRGB
+
+    if isinstance(cam2srgb, str) and cam2srgb == 'example':
+        cam2srgb = EXAMPLE_SRGB
+    if image_rgb is None:
+        image_rgb = real_photo()
+        if image_rgb is None:
+            image_rgb = procedural_image(512, 512, seed)
+
+    linear = np.power(np.clip(image_rgb, 0, 1), 2.2)
+    cam_linear = np.clip(np.einsum('ij,hwj->hwi', np.linalg.inv(cam2srgb), linear), 0, 1)
+
+    # sensor records the scene BEFORE white balance: divide by the multipliers
+    cam_mul = np.asarray(cam_mul, dtype=np.float64)
+    gains = cam_mul / cam_mul[1]
+    sensor = cam_linear / np.array([gains[0], 1.0, gains[2]])[None, None, :]
+
+    mosaic = bayer.mosaic_flat(np.clip(sensor, 0, 1), cfa_pattern)
+    mosaic_u16 = np.clip(black + mosaic * (white - black), 0, 65535).round().astype(np.uint16)
+
+    return dng.write_dng(filename, mosaic_u16, cfa_pattern=cfa_pattern, black=black,
+                         white=white, cam_mul=tuple(cam_mul), cam2srgb=cam2srgb,
+                         camera=camera)
+
+
+def make_dng_dataset(directory, n_images=4, cfa_pattern='RGGB', seed=400):
+    """A directory of real-content DNG captures (different crops/augmentations of
+    the photographic sample) for end-to-end ingestion tests."""
+    os.makedirs(directory, exist_ok=True)
+    photo = real_photo()
+    rng = np.random.default_rng(seed)
+    files = []
+    for i in range(n_images):
+        if photo is not None:
+            h, w = photo.shape[:2]
+            ch, cw = min(384, h), min(384, w)
+            y0 = int(rng.integers(0, h - ch + 1)) // 2 * 2
+            x0 = int(rng.integers(0, w - cw + 1)) // 2 * 2
+            crop = photo[y0:y0 + ch, x0:x0 + cw]
+            if i % 2 == 1:
+                crop = crop[:, ::-1]  # mirrored variant
+        else:
+            crop = procedural_image(384, 384, seed + i)
+        path = os.path.join(directory, f'capture_{i:04d}.dng')
+        make_dng_capture(path, image_rgb=np.ascontiguousarray(crop),
+                         cfa_pattern=cfa_pattern, seed=seed + i)
+        files.append(path)
+    return files

@@ -7,8 +7,14 @@ through rawkit/libRAW and demosaics via colour_demosaicing (Menon/bilinear); thi
 build uses rawpy when present and ships its own demosaicers:
 
 - ``bilinear``: classic 3x3 bilinear interpolation
-- ``malvar``: Malvar-He-Cutler high-quality linear demosaicing (used when the
-  reference's 'menon' is requested — same role: a high-quality linear baseline)
+- ``malvar``: Malvar-He-Cutler high-quality linear demosaicing
+- ``menon``: Menon2007 DDFAPD directional demosaicing (data/menon.py), the same
+  algorithm class the reference requests via colour_demosaicing — measured ~3 dB
+  above Malvar on real photographic content (tests/test_raw_ingestion.py)
+
+Camera files: ``.dng`` is parsed natively (data/dng.py, uncompressed CFA DNGs —
+no libRAW needed); other RAW formats (NEF/CR2/ARW) and compressed DNGs use rawpy
+when available.
 
 Synthetic RAW container (``*.nraw.npz``): mosaic (uint16 h×w), black, saturation,
 cam_mul (4,), cfa (str), cam2srgb (3×3). Produced by
@@ -114,10 +120,15 @@ def _cfa_masks(shape, cfa_pattern):
     return masks
 
 
+def _demosaic_menon(mosaic, cfa_pattern):
+    from neural_imaging_tpu.data.menon import demosaic_menon
+    return demosaic_menon(mosaic, cfa_pattern, refine=True)
+
+
 _DEMOSAICERS = {
     'bilinear': demosaic_bilinear,
     'malvar': demosaic_malvar,
-    'menon': demosaic_malvar,  # high-quality linear stand-in for the reference's Menon
+    'menon': _demosaic_menon,  # DDFAPD, parity with the reference's default
 }
 
 
@@ -145,6 +156,21 @@ def _load_raw_data(filename):
         mosaic = np.clip((mosaic - black) / (saturation - black), 0, 1)
         cfa = bytes(z['cfa']).decode() if z['cfa'].dtype.kind == 'S' else str(z['cfa'])
         return mosaic, cfa, np.asarray(z['cam2srgb']), np.asarray(z['cam_mul'], dtype=np.float32)
+
+    if filename.lower().endswith('.dng'):
+        from neural_imaging_tpu.data import dng
+        try:
+            d = dng.read_dng(filename)
+        except dng.DNGError:
+            if not HAS_RAWPY:
+                raise
+            d = None  # compressed DNG: fall through to rawpy
+        if d is not None:
+            mosaic = d['mosaic'].astype(np.float32)
+            mosaic = np.clip((mosaic - d['black']) / (d['white'] - d['black']), 0, 1)
+            cam_mul = np.array([d['cam_mul'][0], d['cam_mul'][1], d['cam_mul'][2],
+                                d['cam_mul'][3]], dtype=np.float32)
+            return mosaic, d['cfa_pattern'], d['cam2srgb'], cam_mul
 
     if not HAS_RAWPY:
         raise RuntimeError(
