@@ -82,24 +82,23 @@ def get_jpeg_df(directory, write_files=False, effective_bytes=True, force_calc=F
     return _cached(build, directory, 'jpeg.csv', force_calc)
 
 
-def get_jpeg2k_df(directory, write_files=False, force_calc=False, files=None,
-                  rates=(2, 4, 8, 16, 24, 32, 48, 64, 96, 128)):
-    """JPEG 2000 R/D sweep via OpenJPEG (through OpenCV); quality = compression ratio."""
-    import cv2
+def get_jpeg2k_df(directory, write_files=False, effective_bytes=True, force_calc=False,
+                  files=None, qualities=tuple(range(25, 46))):
+    """JPEG 2000 R/D sweep via OpenJPEG: PSNR-targeted encoding (the reference's
+    glymur ``psnr=[q]`` levels 25-45 dB, ratedistortion.py:87-162) with effective
+    payload bytes measured from the codestream tile-parts (jpylyzer parity)."""
+    from neural_imaging_tpu.compression import jp2_helpers
+
     def build():
         names, images = _load_images(directory, files)
         rows = []
         for i, (name, img) in enumerate(zip(names, images)):
-            u8 = (img * 255).astype(np.uint8)
-            for rate in rates:
-                ok, buf = cv2.imencode('.jp2', cv2.cvtColor(u8, cv2.COLOR_RGB2BGR),
-                                       [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000,
-                                        int(1000 / rate)])
-                if not ok:
-                    continue
-                decoded = cv2.cvtColor(cv2.imdecode(buf, cv2.IMREAD_COLOR),
-                                       cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-                rows.append(_row(i, name, 'jpeg2000', rate, img, decoded, len(buf)))
+            u8 = (img * 255).round().astype(np.uint8)
+            for q in qualities:
+                buf, decoded = jp2_helpers.encode_jp2(u8, psnr_target=float(q))
+                nbytes = (jp2_helpers.jp2_payload_bytes(buf) if effective_bytes
+                          else len(buf))
+                rows.append(_row(i, name, 'jpeg2000', q, img, decoded, nbytes))
         return pd.DataFrame(rows, columns=RD_COLUMNS)
     return _cached(build, directory, 'jpeg2000.csv', force_calc)
 
@@ -154,40 +153,88 @@ def get_dcn_df(directory, model_directory, write_files=False, force_calc=False,
 # Curve fitting + plotting
 # ------------------------------------------------------------------------------------
 
-def fit_logistic(bpp, quality):
-    """SSIM-style fit: logistic curve in log(bpp)."""
+def fit_logistic(bpp, quality, sigma=None):
+    """SSIM-style fit: logistic curve in log(bpp). Lower-quality samples are
+    down-weighted via sigma = |1 - y| (the reference's weighting,
+    ratedistortion.py:473-477)."""
     def fn(x, a, b, c, d):
         return a / (1 + np.exp(-b * (np.log(x) - c))) + d
     popt, _ = curve_fit(fn, bpp, quality, p0=(0.5, 2.0, -1.0, 0.5), maxfev=20000,
-                        bounds=([0, 0.1, -5, 0], [1, 20, 5, 1]))
+                        bounds=([0, 0.1, -5, 0], [1, 20, 5, 1]), sigma=sigma)
     return lambda x: fn(x, *popt)
 
 
-def fit_log(bpp, quality):
+def fit_log(bpp, quality, sigma=None):
     """PSNR-style fit: a log(bpp) + b (optionally quadratic in log-bpp)."""
     def fn(x, a, b, c):
         lx = np.log(x)
         return a * lx + b + c * lx ** 2
-    popt, _ = curve_fit(fn, bpp, quality, p0=(5.0, 30.0, 0.0), maxfev=20000)
+    popt, _ = curve_fit(fn, bpp, quality, p0=(5.0, 30.0, 0.0), maxfev=20000,
+                        sigma=sigma)
     return lambda x: fn(x, *popt)
 
 
 _FITTERS = {'ssim': fit_logistic, 'msssim_db': fit_log, 'psnr': fit_log}
 
 
-def fit_rd_curve(df, metric='ssim', points=50):
-    """Fit the per-image R/D samples of one codec; returns (bpp_grid, fitted)."""
+def _fit_sigma(metric, quality):
+    if metric == 'ssim':
+        return np.maximum(np.abs(1.0 - quality), 1e-3)
+    return None
+
+
+def fit_rd_curve(df, metric='ssim', points=50, grid=None):
+    """Fit pooled R/D samples of one codec; returns (bpp_grid, fitted)."""
     df = df.dropna(subset=[metric, 'bpp'])
     bpp, quality = df['bpp'].values, df[metric].values
-    lo, hi = np.percentile(bpp, 1), np.percentile(bpp, 99)
-    grid = np.geomspace(max(lo, 1e-3), hi, points)
-    fitted = _FITTERS[metric](bpp, quality)(grid)
+    if grid is None:
+        lo, hi = np.percentile(bpp, 1), np.percentile(bpp, 99)
+        grid = np.geomspace(max(lo, 1e-3), hi, points)
+    fitted = _FITTERS[metric](bpp, quality, sigma=_fit_sigma(metric, quality))(grid)
     return grid, fitted
 
 
+def fit_rd_curve_per_image(df, metric='ssim', points=50, grid=None):
+    """Per-image fit-then-average (the reference's 'fit' mode,
+    ratedistortion.py:414-562): fit each image's samples separately on a common
+    bpp grid, then average the fitted curves. Statistically robust on
+    heterogeneous image sets, unlike a single pooled fit."""
+    df = df.dropna(subset=[metric, 'bpp'])
+    if grid is None:
+        bpp = df['bpp'].values
+        lo, hi = np.percentile(bpp, 1), np.percentile(bpp, 99)
+        grid = np.geomspace(max(lo, 1e-3), hi, points)
+    curves = []
+    for _, sel in df.groupby('image_id'):
+        if len(sel) < 4:
+            continue
+        y = sel[metric].values
+        try:
+            fit = _FITTERS[metric](sel['bpp'].values, y, sigma=_fit_sigma(metric, y))
+            curves.append(fit(grid))
+        except (RuntimeError, ValueError):
+            logger.warning('per-image R/D fit failed for image_id=%s',
+                           sel['image_id'].iloc[0])
+    if not curves:
+        raise ValueError('No image had enough samples for a per-image fit')
+    return grid, np.nanmean(np.stack(curves), axis=0)
+
+
+def aggregate_rd(df, metric='ssim'):
+    """Mean bpp/metric per quality level (the reference's 'aggregate' mode)."""
+    group_key = 'n_features' if 'n_features' in df else 'quality'
+    dfg = df.dropna(subset=[metric, 'bpp']).groupby(group_key)
+    return dfg['bpp'].mean().values, dfg[metric].mean().values
+
+
 def plot_curve(dfs, axes=None, metric='ssim', title=None, images=None,
-               plot_type='fit', baseline_count=3, update_ylim=False, draw_markers=None):
-    """Comparison R/D plot for a list of (or single) codec DataFrames."""
+               plot_type='fit', baseline_count=3, update_ylim=False,
+               draw_markers=None):
+    """Comparison R/D plot for a list of (or single) codec DataFrames.
+
+    plot_type: 'fit' (per-image fit-then-average when multiple images are
+    present), 'pooled' (single fit over all samples), 'aggregate' (mean per
+    quality level), 'scatter'."""
     from matplotlib.figure import Figure
     if axes is None:
         axes = Figure(figsize=(8, 5)).gca()
@@ -200,15 +247,21 @@ def plot_curve(dfs, axes=None, metric='ssim', title=None, images=None,
             sel = df[df['codec'] == codec]
             if images is not None:
                 sel = sel[sel['image_id'].isin(images)]
-            if plot_type in ('fit', 'line'):
+            if plot_type == 'aggregate':
+                bpp, quality = aggregate_rd(sel, metric)
+                axes.semilogx(bpp, quality, '-o', label=codec, alpha=0.7)
+            elif plot_type in ('fit', 'pooled', 'line'):
                 try:
-                    grid, fitted = fit_rd_curve(sel, metric)
+                    if plot_type == 'fit' and sel['image_id'].nunique() > 1:
+                        grid, fitted = fit_rd_curve_per_image(sel, metric)
+                    else:
+                        grid, fitted = fit_rd_curve(sel, metric)
                     axes.semilogx(grid, fitted, label=codec)
                 except (RuntimeError, ValueError):
                     axes.semilogx(sel['bpp'], sel[metric], '.', label=codec)
             if plot_type in ('scatter', 'fit') and draw_markers is not False:
                 axes.semilogx(sel['bpp'], sel[metric], '.', alpha=0.2)
-    axes.set_xlabel('bpp')
+    axes.set_xlabel('Effective bpp')
     axes.set_ylabel(metric)
     axes.legend()
     if title:

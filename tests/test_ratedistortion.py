@@ -33,11 +33,37 @@ class TestSweeps:
         assert len(df2) == len(df)
 
     def test_jpeg2000_sweep(self, image_dir):
-        df = rd.get_jpeg2k_df(image_dir, rates=(8, 32))
+        df = rd.get_jpeg2k_df(image_dir, qualities=(28, 36))
         assert len(df) == 4
         assert (df['bpp'] > 0).all()
-        one = df[df.image_id == 0].sort_values('quality')  # quality = compression ratio
-        assert one.iloc[0]['psnr'] > one.iloc[1]['psnr']
+        # quality = PSNR target (dB): the achieved PSNR must track it
+        for _, row in df.iterrows():
+            assert abs(row['psnr'] - row['quality']) < 1.0, row
+        one = df[df.image_id == 0].sort_values('quality')
+        assert one.iloc[1]['psnr'] > one.iloc[0]['psnr']
+        assert one.iloc[1]['bytes'] > one.iloc[0]['bytes']
+
+    def test_jp2_effective_payload(self, image_dir):
+        """Effective bytes (tile-part sum) must be measurably below the whole
+        file and account for nearly all of it."""
+        from neural_imaging_tpu.compression import jp2_helpers as j2
+        img = fixtures.procedural_image(96, 96, seed=40)
+        buf, _ = j2.encode_jp2((img * 255).astype(np.uint8), rate_bpp=2.0)
+        payload = j2.jp2_payload_bytes(buf)
+        assert 0 < payload < len(buf)
+        assert payload > 0.7 * len(buf)
+
+    def test_jp2_rate_control(self):
+        from neural_imaging_tpu.compression import jp2_helpers as j2
+        img = (fixtures.procedural_image(128, 128, seed=3) * 255).astype(np.uint8)
+        buf, _ = j2.encode_jp2(img, rate_bpp=1.0)
+        bpp = 8 * len(buf) / (128 * 128)
+        assert 0.7 < bpp < 1.3
+
+    def test_jp2_payload_raw_codestream_and_errors(self):
+        from neural_imaging_tpu.compression import jp2_helpers as j2
+        with pytest.raises(ValueError):
+            j2.jp2_payload_bytes(b'not a jp2 file at all')
 
     def test_bpg_gated(self, image_dir):
         df = rd.get_bpg_df(image_dir)
@@ -71,6 +97,28 @@ class TestFits:
         # fitted SSIM must increase with bpp
         assert fitted[-1] > fitted[0]
         ax = rd.plot_curve([df], metric='ssim', title='test')
+        assert ax is not None
+
+    def test_per_image_fit_then_average(self, image_dir):
+        """Reference 'fit' mode (ratedistortion.py:414-562): per-image curves are
+        fitted separately and averaged — on images with different R/D behavior the
+        result differs from a pooled fit but stays between the per-image curves."""
+        df = rd.get_jpeg_df(image_dir, qualities=range(10, 96, 10), force_calc=True)
+        grid = np.geomspace(0.3, 3.0, 32)
+        _, avg = rd.fit_rd_curve_per_image(df, 'ssim', grid=grid)
+        assert np.isfinite(avg).all()
+        per_image = [rd.fit_rd_curve(df[df.image_id == i], 'ssim', grid=grid)[1]
+                     for i in df['image_id'].unique()]
+        lo = np.minimum.reduce(per_image) - 1e-6
+        hi = np.maximum.reduce(per_image) + 1e-6
+        assert ((avg >= lo) & (avg <= hi)).all()
+
+    def test_aggregate_mode(self, image_dir):
+        df = rd.get_jpeg_df(image_dir, qualities=range(10, 96, 10), force_calc=True)
+        bpp, quality = rd.aggregate_rd(df, 'psnr')
+        assert len(bpp) == len(quality) == 9
+        assert (np.diff(quality) > 0).all()
+        ax = rd.plot_curve([df], metric='psnr', plot_type='aggregate')
         assert ax is not None
 
     def test_plot_bulk(self, image_dir):
