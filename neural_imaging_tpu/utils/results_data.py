@@ -42,6 +42,14 @@ def _get(d, dotted_path, default=None):
         return default
 
 
+def _last(seq):
+    """Last element of a possibly-missing/empty metric history (NaN otherwise —
+    e.g. a frozen NIP logs an empty validation list)."""
+    if seq is None or len(seq) == 0:
+        return np.nan
+    return seq[-1]
+
+
 def autodetect_cameras(dirname):
     """List known cameras based on available NIP snapshot directories."""
     counter = 5
@@ -99,10 +107,10 @@ def manipulation_metrics(nip_models, cameras, root_dir=ROOT_DIRNAME):
                         'nip': nip,
                         'ln': ed,
                         'source': jf.replace(find_dir, '').replace('training.json', ''),
-                        'psnr': _get(data, 'nip.performance.psnr.validation', [np.nan])[-1],
-                        'ssim': _get(data, 'nip.performance.ssim.validation', [np.nan])[-1],
-                        'accuracy': _get(data, 'forensics.performance.accuracy.validation',
-                                         [np.nan])[-1],
+                        'psnr': _last(_get(data, 'nip.performance.psnr.validation', None)),
+                        'ssim': _last(_get(data, 'nip.performance.ssim.validation', None)),
+                        'accuracy': _last(_get(
+                            data, 'forensics.performance.accuracy.validation', None)),
                     })
     return pd.DataFrame(rows, columns=['camera', 'nip', 'ln', 'source', 'psnr', 'ssim',
                                        'accuracy'])
