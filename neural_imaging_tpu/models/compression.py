@@ -98,6 +98,10 @@ class DCN(TPUModel):
                        rounding=rounding)
         self.patch_size = patch_size
         self.v, self.gamma = float(v), float(gamma)
+        # opt-in fused Pallas quantization+entropy kernel (soft-codebook only);
+        # the XLA path stays the default — at these latent sizes XLA's fused
+        # batched forms are as fast, and numerics are identical (tests/test_pallas.py)
+        self.use_pallas_quantization = bool(kwargs.pop('use_pallas_quantization', False))
 
         self.construct_model(**kwargs)
         self._has_attributes(['_encoder', '_decoder'])
@@ -141,6 +145,12 @@ class DCN(TPUModel):
         """Scale → quantize → entropy (the reference's DiscreteLatent layer)."""
         if self._h.scale_latent:
             z = z * params['latent_scale']
+        if self.use_pallas_quantization and self._h.rounding == 'soft-codebook':
+            from neural_imaging_tpu.ops.pallas.codebook import quantize_with_entropy_pallas
+            q, entropy, _ = quantize_with_entropy_pallas(
+                z, self._codebook(params), self.v, self.gamma,
+                trainable=self._h.train_codebook)
+            return q, entropy
         q, entropy, _ = quant.quantize_with_entropy(
             z, self._codebook(params), self._h.rounding, self.v, self.gamma)
         return q, entropy

@@ -78,18 +78,24 @@ def _kernel(z_ref, cb_ref, soft_ref, hard_ref, *, n_codes, v, gamma):
 
 
 def _pallas_forward(z_flat, codebook, v, gamma, interpret):
+    """Streaming fused forward; ``codebook`` may be a concrete array or a traced
+    value (trainable codebook)."""
     n = z_flat.shape[0]
     n_codes = codebook.shape[0]
     padded = int(np.ceil(n / TILE)) * TILE
-    z_pad = jnp.pad(z_flat, (0, padded - n),
-                    constant_values=np.float32(codebook[0]))
+    cb = jnp.asarray(codebook, jnp.float32)
+    pad_val = cb[0]  # padded slots quantize to a real codeword and are sliced off
+    z_pad = jnp.concatenate(
+        [z_flat, jnp.full((padded - n,), pad_val, jnp.float32)]) \
+        if padded > n else z_flat
     z2 = z_pad.reshape(-1, LANE)
     rows = z2.shape[0]
     grid = rows // SUBLANES
 
     cb_lane = int(np.ceil(n_codes / LANE)) * LANE
-    cb2 = jnp.pad(jnp.asarray(codebook, jnp.float32), (0, cb_lane - n_codes),
-                  constant_values=np.float32(codebook[0])).reshape(1, -1)
+    cb2 = jnp.concatenate(
+        [cb, jnp.full((cb_lane - n_codes,), pad_val, jnp.float32)]).reshape(1, -1) \
+        if cb_lane > n_codes else cb.reshape(1, -1)
 
     kernel = functools.partial(_kernel, n_codes=n_codes, v=float(v), gamma=float(gamma))
     soft, hard_idx = pl.pallas_call(
@@ -126,17 +132,74 @@ def _codeword_weight_matrix(codebook, v, gamma):
     return jax.nn.softmax(logw, axis=-1)
 
 
-def quantize_with_entropy_pallas(z, codebook, v=50.0, gamma=25.0, interpret=None):
+def quantize_with_entropy_pallas(z, codebook, v=50.0, gamma=25.0, interpret=None,
+                                 trainable=None):
     """
     Fused soft-codebook quantization + entropy of the quantized latent.
     Semantics identical to ops.quantization.quantize_with_entropy with
-    rounding='soft-codebook' and a non-trainable codebook.
-    Returns (quantized, entropy_bits, histogram).
+    rounding='soft-codebook'. Returns (quantized, entropy_bits, histogram).
+
+    ``trainable=True`` treats the codebook as a differentiable input (the
+    reference's train_codebook option, models/layers.py:113-116): the fused
+    streaming forward is unchanged, and the backward pass is the exact VJP of the
+    XLA reference composition, producing gradients for both ``z`` and
+    ``codebook``. Auto-detected when the codebook is a traced value.
     """
     if interpret is None:
         interpret = not _is_tpu()  # resolve eagerly: a concrete nondiff argument
+    if trainable is None:
+        trainable = isinstance(codebook, jax.core.Tracer)
+    if trainable:
+        return _quantize_with_entropy_trainable(
+            z, jnp.asarray(codebook, jnp.float32).reshape(-1), float(v), float(gamma),
+            bool(interpret))
     cb_key = tuple(float(c) for c in np.asarray(codebook).reshape(-1))
     return _quantize_with_entropy_vjp(z, cb_key, float(v), float(gamma), bool(interpret))
+
+
+# ----------------------------------------------------------------------------------
+# Trainable-codebook variant: fused forward, exact XLA-composition backward
+# ----------------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _quantize_with_entropy_trainable(z, codebook, v, gamma, interpret):
+    q, h, hist, _ = _fwd_trainable_impl(z, codebook, v, gamma, interpret)
+    return q, h, hist
+
+
+def _fwd_trainable_impl(z, codebook, v, gamma, interpret):
+    shape = z.shape
+    z_flat = z.reshape(-1).astype(jnp.float32)
+    soft, hard_idx, counts = _pallas_forward(z_flat, codebook, v, gamma, interpret)
+    hard = codebook[hard_idx]
+    q = (jax.lax.stop_gradient(hard - soft) + soft).reshape(shape)
+
+    w_cc = _codeword_weight_matrix(codebook, v, gamma)
+    histogram = (counts / z_flat.shape[0]) @ w_cc
+    histogram = jnp.clip(histogram, 1e-9, None)
+    histogram = histogram / jnp.sum(histogram)
+    entropy = -jnp.sum(histogram * jnp.log(histogram)) / quant.LN2
+    return q, entropy, histogram, (z, codebook)
+
+
+def _fwd_trainable(z, codebook, v, gamma, interpret):
+    q, h, hist, residuals = _fwd_trainable_impl(z, codebook, v, gamma, interpret)
+    return (q, h, hist), residuals
+
+
+def _bwd_trainable(v, gamma, interpret, residuals, cotangents):
+    z, codebook = residuals
+    # exact gradients of the reference composition (quantize -> entropy-of-q),
+    # recomputed in XLA for the backward only: the (N, L) weight matrix exists
+    # transiently here but never in the forward pass
+    _, vjp_fn = jax.vjp(
+        lambda zz, cb: quant.quantize_with_entropy(zz, cb, 'soft-codebook', v, gamma),
+        z, codebook)
+    dz, dcb = vjp_fn(cotangents)
+    return dz, dcb
+
+
+_quantize_with_entropy_trainable.defvjp(_fwd_trainable, _bwd_trainable)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))

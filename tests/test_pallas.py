@@ -57,6 +57,60 @@ class TestCodebookKernel:
         assert np.abs(np.asarray(q_p - q_r)).max() == 0
         assert abs(float(h_p) - float(h_r)) < 1e-5
 
+    @pytest.mark.parametrize('v,gamma', [(50.0, 25.0), (0.0, 5.0)])
+    def test_trainable_codebook_parity(self, data, v, gamma):
+        """Trainable-codebook variant: forward parity and exact gradient parity
+        (both z and codebook) with the XLA path (ref models/layers.py:113-116)."""
+        z, cb0 = data
+        cb = jnp.asarray(cb0) + 0.05  # off-integer so codebook gradients are nontrivial
+
+        q_p, h_p, hist_p = cbk.quantize_with_entropy_pallas(z, cb, v, gamma,
+                                                            trainable=True)
+        q_r, h_r, hist_r = quant.quantize_with_entropy(z, cb, 'soft-codebook', v, gamma)
+        assert np.abs(np.asarray(q_p - q_r)).max() < 1e-6
+        assert abs(float(h_p) - float(h_r)) < 1e-5
+        assert np.abs(np.asarray(hist_p - hist_r)).max() < 1e-6
+
+        def loss(fn):
+            def inner(zz, cc):
+                q, h, _ = fn(zz, cc)
+                return 0.001 * jnp.sum(q ** 2) + 10.0 * h
+            return inner
+
+        gz_p, gc_p = jax.grad(loss(
+            lambda zz, cc: cbk.quantize_with_entropy_pallas(zz, cc, v, gamma,
+                                                            trainable=True)),
+            argnums=(0, 1))(z, cb)
+        gz_r, gc_r = jax.grad(loss(
+            lambda zz, cc: quant.quantize_with_entropy(zz, cc, 'soft-codebook',
+                                                       v, gamma)),
+            argnums=(0, 1))(z, cb)
+        assert np.abs(np.asarray(gz_p - gz_r)).max() < 1e-5
+        assert np.abs(np.asarray(gc_p - gc_r)).max() < 1e-5
+
+    def test_trainable_autodetect_under_grad(self, data):
+        """Differentiating w.r.t. the codebook without the explicit flag routes to
+        the trainable variant (tracer auto-detection)."""
+        z, cb0 = data
+        g = jax.grad(lambda cc: cbk.quantize_with_entropy_pallas(z, cc)[1])(
+            jnp.asarray(cb0) + 0.05)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_dcn_pallas_trainable_codebook_step(self):
+        """A DCN with use_pallas_quantization + train_codebook trains end-to-end
+        and actually moves the codebook."""
+        from neural_imaging_tpu.models.compression import TwitterDCN
+        rng = np.random.default_rng(5)
+        dcn = TwitterDCN(patch_size=32, n_features=8, train_codebook=True,
+                         use_pallas_quantization=True, entropy_weight=50.0)
+        assert dcn.use_pallas_quantization
+        cb_before = dcn.get_codebook().copy()
+        x = rng.random((2, 32, 32, 3)).astype(np.float32)
+        for _ in range(3):
+            out = dcn.training_step(x, learning_rate=1e-3)
+        assert np.isfinite(out['loss'])
+        assert not np.allclose(dcn.get_codebook(), cb_before)
+
 
 class TestJPEGKernel:
     @pytest.fixture(scope='class')
