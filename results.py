@@ -29,9 +29,59 @@ def main():
 
     from neural_imaging_tpu.utils import plots, results_data
 
-    if args.plot == 'df' or args.plot == 'auto':
+    if args.plot == 'df':
         df = results_data.manipulation_summary(args.root_dir)
         print(df.to_string(index=False))
+        return
+
+    if args.plot == 'auto':
+        # Scenario guessing (ref results.py:168-224): split the scenario path into
+        # components, name each by content, pick the most varied one as the x-axis
+        # and map the remaining multi-valued components to plot facets.
+        import re
+
+        df = results_data.manipulation_summary(args.root_dir).sort_values('scenario')
+        if df.empty:
+            print(f'No results found under {args.root_dir}')
+            return
+        components = df['scenario'].str.split('/', expand=True)
+        names = {}
+        for i in components.columns:
+            values = components[i].astype(str)
+            first = values.iloc[0]
+            if first.endswith('Net') or first == 'ClassicISP':
+                names[i] = 'nip'
+            elif first.startswith('ln-'):
+                names[i] = 'nip reg.'
+            elif first.startswith('lc-'):
+                names[i] = 'dcn reg.'
+            elif all(v.endswith('c') and v[:-1].isdigit() for v in values.unique()):
+                names[i] = 'dcn'
+            elif all(re.match(r'^[0-9]{2,3}$', v) for v in values.unique()):
+                names[i] = 'jpeg'
+            else:
+                names[i] = f'scenario:{i}'
+            df[names[i]] = values
+
+        uniques = [df[names[i]].nunique() for i in components.columns]
+        x_feature = int(np.argmax(uniques))
+        mapping = {}
+        for target, i in zip(['hue', 'col'],
+                             [i for i in components.columns
+                              if i != x_feature and df[names[i]].nunique() > 1]):
+            mapping[target] = names[i]
+
+        import seaborn as sns
+        grid = sns.catplot(x=names[x_feature], y='accuracy', data=df, kind='box',
+                           **mapping)
+        out = args.out or 'results_auto.png'
+        grid.savefig(out)
+        print(f'figure -> {out}')
+
+        gb = df.groupby('scenario')
+        counts = gb.size().to_frame(name='reps')
+        numeric = df.select_dtypes('number').columns
+        print(counts.join(gb[list(numeric)].mean()).reset_index().to_string())
         return
 
     if args.plot == 'confusion':

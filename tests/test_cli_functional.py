@@ -190,3 +190,22 @@ class TestWorkflowTools:
         for key in ('summary', 'distribution', 'manipulations', 'nip', 'forensics'):
             assert key in log, key
         assert 'accuracy' in log['forensics']['performance']
+
+
+class TestScenarioTools:
+    def test_results_auto(self, manip_run, tmp_path):
+        fig = tmp_path / 'auto.png'
+        proc = run_cli(['results.py', 'auto', '--dir', manip_run['root'],
+                        '--out', str(fig)])
+        assert fig.is_file()
+        assert 'reps' in proc.stdout and 'accuracy' in proc.stdout
+
+    def test_train_nip_group_selector(self, tmp_path):
+        csv = tmp_path / 'sc.csv'
+        csv.write_text('scenario,active,run_group,kernel\na,1,0,3\nb,1,1,5\nc,0,1,7\n')
+        import sys as _sys
+        _sys.path.insert(0, REPO)
+        from train_nip import get_scenarios
+        assert len(get_scenarios(str(csv))) == 2            # active only
+        assert len(get_scenarios(str(csv), run_group=1)) == 1
+        assert get_scenarios(str(csv), run_group=1)[0]['kernel'] == 5

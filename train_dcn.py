@@ -42,12 +42,7 @@ def main():
     from neural_imaging_tpu.training.compression import train_dcn
 
     if args.param_list:
-        import pandas as pd
-        df = pd.read_csv(args.param_list)
-        if args.group is not None and 'run_group' in df.columns:
-            df = df[df['run_group'] == args.group]
-        df.to_csv('/tmp/_dcn_scenarios.csv', index=False)
-        scenarios = get_scenarios('/tmp/_dcn_scenarios.csv')
+        scenarios = get_scenarios(args.param_list, run_group=args.group)
     else:
         scenarios = [parse_json_arg(args.params)]
 

@@ -34,11 +34,16 @@ def parse_split(split):
     return tuple(parts[:3])
 
 
-def get_scenarios(csv_path):
+def get_scenarios(csv_path, run_group=None):
     """Load hyper-param scenarios from a CSV table (columns map to model args;
-    an 'active' column selects rows; '@'-prefixed cells are evaluated)."""
+    an 'active' column selects rows; a 'run_group' column sub-selects via
+    --group, ref train_nip.py:70,99-104; '@'-prefixed cells are evaluated)."""
     import pandas as pd
     df = pd.read_csv(csv_path)
+    if run_group is not None:
+        if 'run_group' not in df.columns:
+            raise ValueError(f'--group given but {csv_path} has no run_group column')
+        df = df[df['run_group'] == run_group]
     if 'active' in df.columns:
         df = df[df['active'] != 0]
     scenarios = []
@@ -70,6 +75,8 @@ def main():
     parser.add_argument('--params', '--ha', dest='params', default=None,
                         help='JSON with model hyper-parameters')
     parser.add_argument('--hp', default=None, help='CSV with hyper-param scenarios')
+    parser.add_argument('--group', type=int, default=None,
+                        help='run_group to sub-select scenarios from the CSV')
     parser.add_argument('--val-schedule', type=int, default=100)
     parser.add_argument('--cameras-config', default='config/cameras.json')
     parser.add_argument('-f', '--fill', default=None,
@@ -95,7 +102,8 @@ def main():
         return
 
     nip_name = match_option(args.nip, pipelines.supported_models)
-    scenarios = get_scenarios(args.hp) if args.hp else [parse_json_arg(args.params)]
+    scenarios = (get_scenarios(args.hp, run_group=args.group) if args.hp
+                 else [parse_json_arg(args.params)])
     n_images, v_images, val_n_patches = parse_split(args.split)
 
     data_dir = args.data or args.cam
