@@ -50,6 +50,10 @@ def compress(batch_x, model, verbose=False):
         raise L3ICError('Code-books with more than 256 centers are not supported')
 
     coded_layers = []
+    plane = int(latent_shape[0]) * int(latent_shape[1])
+    if plane == 3:
+        # a 3-byte raw layer would be indistinguishable from an RLE record
+        raise L3ICError('1x3 / 3x1 latent planes are not representable in the bitstream')
     for n in range(latent_shape[-1]):
         indices = _vq(batch_z[0, :, :, n], code_book)
         try:
@@ -108,7 +112,10 @@ def decompress(stream, model=None, verbose=False):
     for n in range(n_latent):
         coded = stream.read(int(layer_lengths[n]))
         try:
-            if len(coded) == 3:  # RLE
+            # A 3-byte layer can only be the RLE record (uint16 count + uint8
+            # value): a real ANS stream is >= entropy.MIN_STREAM_BYTES (8) bytes,
+            # and the encoder refuses the ambiguous plane == 3 raw case.
+            if len(coded) == 3 and plane != 3:  # RLE
                 count = int(np.frombuffer(coded[:2], dtype=np.uint16)[0])
                 layer_data = coded[-1:] * count
             elif len(coded) == plane:  # raw

@@ -84,6 +84,12 @@ def backend():
     return 'native' if _load_native() is not None else 'numpy'
 
 
+# A coded stream is never shorter than its header: 4 (raw length) + 1 (symbol
+# count) + 3 per present symbol >= 8 bytes. The bitstream layer relies on this to
+# disambiguate its 3-byte RLE fallback records (codec.py).
+MIN_STREAM_BYTES = 8
+
+
 def compress(data):
     """Entropy-code a byte string. Raises ANSSymbolRepetitionError /
     ANSNotCompressibleError for degenerate streams (caller falls back)."""
