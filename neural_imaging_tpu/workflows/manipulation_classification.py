@@ -346,19 +346,63 @@ class ManipulationClassification:
             indices[i] = self._rng.integers(0, N_STRENGTH_CANDIDATES)
         return jnp.asarray(scalars), jnp.asarray(indices)
 
+    def _channel_qtables_in_graph(self, key):
+        """Channel JPEG qtables resolved INSIDE the jitted step: static quality
+        folds to constants, a 2-range samples a traced quality scalar, a longer
+        set gathers from precomputed tables — per-step quality randomization with
+        zero host work and no recompiles (vs. the reference's host-side table
+        swaps, models/jpeg.py:236-243)."""
+        from neural_imaging_tpu.utils.utils import is_number
+
+        if self._distribution['compression'] != 'jpeg' or self.codec is None:
+            z = jnp.ones((8, 8), jnp.float32)
+            return z, z
+        quality = self.codec.quality if self.codec.quality is not None else 50
+        if is_number(quality):
+            return (jnp.asarray(jpeg_qtable(quality, 0)),
+                    jnp.asarray(jpeg_qtable(quality, 1)))
+        if len(quality) == 2:
+            q = jax.random.randint(key, (), int(quality[0]), int(quality[1]))
+            return (jpeg_models.jpeg_qtable_traced(q.astype(jnp.float32), 0),
+                    jpeg_models.jpeg_qtable_traced(q.astype(jnp.float32), 1))
+        tables_l = jnp.stack([jpeg_qtable(q, 0) for q in quality])
+        tables_c = jnp.stack([jpeg_qtable(q, 1) for q in quality])
+        idx = jax.random.randint(key, (), 0, len(quality))
+        return tables_l[idx], tables_c[idx]
+
+    def _sample_strengths_in_graph(self, key):
+        """Per-manipulation strength randomization inside the step."""
+        n = len(self._operations)
+        k_s, k_i = jax.random.split(key)
+        lo = jnp.asarray([self._strengths_range[m][0] for m in self._operations],
+                         jnp.float32)
+        hi = jnp.asarray([self._strengths_range[m][1] for m in self._operations],
+                         jnp.float32)
+        scalars = lo + (hi - lo) * jax.random.uniform(k_s, (n,))
+        indices = jax.random.randint(k_i, (n,), 0, N_STRENGTH_CANDIDATES)
+        return scalars, indices
+
     def training_step(self, batch_x, batch_y, lambda_nip=0, lambda_dcn=0,
                       augment=False, learning_rate=1e-4):
-        """One jitted step over the whole chain. Returns (loss, {'ce','nip','dcn'})."""
+        """One jitted step over the whole chain. Returns (loss, {'ce','nip','dcn'}).
+
+        ALL per-step randomness (PRNG splitting, manipulation strengths, channel
+        JPEG quality) is derived in-graph from a device-resident key that the step
+        advances and returns — steps enqueue with no host round-trips, which
+        matters both for dispatch latency and for multi-step pipelining."""
         cache_key = ('train', augment, batch_y is not None)
         if cache_key not in self._jitted:
-            def step(tparams, fparams, opt_state, batch_x, batch_y, key, ql, qc,
-                     l_nip, l_dcn, lr, scalars, indices):
+            def step(tparams, fparams, opt_state, key, batch_x, batch_y,
+                     l_nip, l_dcn, lr):
+                key_next, k_manip, k_q, k_str = jax.random.split(key, 4)
+                ql, qc = self._channel_qtables_in_graph(k_q)
+                scalars, indices = (self._sample_strengths_in_graph(k_str)
+                                    if augment else (None, None))
+
                 def loss_of(tp):
                     params = {**fparams, **tp}
-                    return self._losses(params, batch_x, batch_y, key, ql, qc,
-                                        l_nip, l_dcn,
-                                        scalars if augment else None,
-                                        indices if augment else None)
+                    return self._losses(params, batch_x, batch_y, k_manip, ql, qc,
+                                        l_nip, l_dcn, scalars, indices)
                 (loss, parts), grads = jax.value_and_grad(loss_of, has_aux=True)(tparams)
                 finite = jnp.all(jnp.asarray(
                     [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
@@ -366,20 +410,17 @@ class ManipulationClassification:
                 updates = jax.tree.map(lambda u: -lr * u, updates)
                 import optax
                 tparams = optax.apply_updates(tparams, updates)
-                return tparams, opt_state, loss, parts, finite
-            self._jitted[cache_key] = jax.jit(step, donate_argnums=(0, 2))
+                return tparams, opt_state, key_next, loss, parts, finite
+            self._jitted[cache_key] = jax.jit(step, donate_argnums=(0, 2, 3))
 
-        ql, qc = self._channel_qtables()
-        scalars, indices = self._sample_strengths()
         tparams = self._train_partition(self.params)
         fparams = self._frozen_partition(self.params)
         by = None if batch_y is None else jnp.asarray(batch_y, jnp.float32)
 
-        tparams, self.opt_state, loss, parts, finite = self._jitted[cache_key](
-            tparams, fparams, self.opt_state, jnp.asarray(batch_x, jnp.float32), by,
-            self._next_key(), jnp.asarray(ql), jnp.asarray(qc),
-            jnp.float32(lambda_nip), jnp.float32(lambda_dcn), jnp.float32(learning_rate),
-            scalars, indices)
+        tparams, self.opt_state, self._key, loss, parts, finite = self._jitted[cache_key](
+            tparams, fparams, self.opt_state, self._key,
+            jnp.asarray(batch_x, jnp.float32), by,
+            jnp.float32(lambda_nip), jnp.float32(lambda_dcn), jnp.float32(learning_rate))
 
         if self.nan_check:
             if not bool(finite):
