@@ -172,6 +172,53 @@ def make_dng_capture(filename, image_rgb=None, cfa_pattern='RGGB', seed=0,
                          camera=camera)
 
 
+def make_quality_dataset(directory, n_images=60, height=256, width=384, seed=900,
+                         cfa_pattern='GBRG'):
+    """
+    A reference-scale training set (default 60 images, the 40:20:1 split's total):
+    half simulated captures of real photographic content (random crops/flips/
+    exposure variants of the environment's sample photo), half procedural scenes.
+    Written in the reference's directory format (.npy RGGB stacks + .png targets).
+    """
+    os.makedirs(directory, exist_ok=True)
+    photo = real_photo()
+    rng = np.random.default_rng(seed)
+    from neural_imaging_tpu.ops.kernels import EXAMPLE_SRGB
+
+    for i in range(n_images):
+        use_photo = photo is not None and i % 2 == 0
+        if use_photo:
+            h, w = photo.shape[:2]
+            ch, cw = min(height, h), min(width, w)
+            y0 = int(rng.integers(0, h - ch + 1)) // 2 * 2
+            x0 = int(rng.integers(0, w - cw + 1)) // 2 * 2
+            crop = photo[y0:y0 + ch, x0:x0 + cw]
+            if rng.uniform() < 0.5:
+                crop = crop[:, ::-1]
+            if rng.uniform() < 0.5:
+                crop = crop[::-1, :]
+            crop = np.clip(crop * rng.uniform(0.7, 1.15), 0, 1)
+            scene = np.ascontiguousarray(crop)
+        else:
+            scene = procedural_image(height, width, seed + i)
+
+        cam_linear = np.clip(np.einsum('ij,hwj->hwi', np.linalg.inv(EXAMPLE_SRGB),
+                                       np.power(scene, 2.2)), 0, 1)
+        mosaic = bayer.mosaic_flat(cam_linear, cfa_pattern)
+        stack = bayer.stack_bayer(
+            np.stack([mosaic * m for m in raw._cfa_masks(mosaic.shape, cfa_pattern)],
+                     axis=-1), cfa_pattern)
+        stack_u16 = np.clip(stack * 65535, 0, 65535).round().astype(np.uint16)
+        developed = raw.develop_mosaic(mosaic, cfa_pattern, cam2srgb=EXAMPLE_SRGB,
+                                       brightness=None, use_gamma=True,
+                                       demosaicing='menon')
+        name = f'quality_{i:04d}'
+        imageio.imwrite(os.path.join(directory, name + '.png'),
+                        np.clip(developed * 255, 0, 255).round().astype(np.uint8))
+        np.save(os.path.join(directory, name + '.npy'), stack_u16)
+    return directory
+
+
 def make_dng_dataset(directory, n_images=4, cfa_pattern='RGGB', seed=400):
     """A directory of real-content DNG captures (different crops/augmentations of
     the photographic sample) for end-to-end ingestion tests."""

@@ -35,7 +35,7 @@ class ManipulationClassification:
 
     def __init__(self, nip_model, manipulations=None, distribution=None, fan_args=None,
                  trainable=None, raw_patch_size=128, loss_metric='L2', rng_seed=0,
-                 remat=False):
+                 remat=False, channel_dtype='float32'):
         """
         :param nip_model: '<nip class>[:dirname]' — NIP class + optional pretrained dir
         :param manipulations: list of '<name>[:strength]' specs
@@ -51,6 +51,14 @@ class ManipulationClassification:
         # rematerialize ISP+manipulation activations in the backward pass — trades
         # FLOPs for memory so the (K+1)-expanded batch fits HBM at large patches
         self.remat = remat
+
+        # distribution-channel compute dtype: the manipulation expansion, pooling
+        # and FAN inputs are HBM-bandwidth-bound at large patches; bfloat16 halves
+        # that traffic. Numerically-sensitive parts stay f32 regardless: the NIP
+        # output used by the fidelity loss, and the dJPEG transform internals.
+        if channel_dtype not in ('float32', 'bfloat16'):
+            raise ValueError(f'Unsupported channel dtype {channel_dtype}')
+        self._channel_dtype = jnp.bfloat16 if channel_dtype == 'bfloat16' else jnp.float32
 
         self._trainable = set() if trainable is None else set(trainable)
         self._trainable.add('fan')
@@ -193,23 +201,27 @@ class ManipulationClassification:
     def _manipulate(self, batch_Y, key, strength_scalars=None, strength_indices=None):
         """(K+1)-way batch expansion: [native] + each manipulation. Randomized
         strengths come in as traced scalars / switch indices."""
+        dt = self._channel_dtype
+        batch_Y = batch_Y.astype(dt)
         y_list = [batch_Y]
         for i, name in enumerate(self._operations):
             key, sub = jax.random.split(key)
             if strength_scalars is None:
                 s = self._strengths[name]
-                y_list.append(manips.MANIPULATIONS[name](batch_Y, s, sub))
+                y_list.append(manips.MANIPULATIONS[name](batch_Y, s, sub).astype(dt))
             else:
                 if name in manips.TRACED_MANIPULATIONS:
                     y_list.append(manips.TRACED_MANIPULATIONS[name](
-                        batch_Y, strength_scalars[i], sub))
+                        batch_Y, strength_scalars[i], sub).astype(dt))
                 elif name == 'resample':
                     cands = [int(c) for c in self._strength_candidates[name]]
-                    y_list.append(manips.resample_switch(batch_Y, strength_indices[i], cands))
+                    y_list.append(manips.resample_switch(batch_Y, strength_indices[i],
+                                                         cands).astype(dt))
                 elif name == 'median':
                     cands = sorted({int(c) | 1 for c in self._strength_candidates[name]})
                     y_list.append(manips.median_switch(
-                        batch_Y, jnp.clip(strength_indices[i], 0, len(cands) - 1), cands))
+                        batch_Y, jnp.clip(strength_indices[i], 0, len(cands) - 1),
+                        cands).astype(dt))
         return jnp.concatenate(y_list, axis=0)
 
     def _downsample(self, batch):
@@ -228,15 +240,17 @@ class ManipulationClassification:
         """Returns (compressed_batch, entropy)."""
         compression = self._distribution['compression']
         if compression == 'jpeg':
+            batch32 = batch.astype(jnp.float32)  # dJPEG numerics stay f32 (parity)
             if 'dcn' in params:  # trainable qtables
-                y, _ = self.codec._model(batch, params=params['dcn'])
+                y, _ = self.codec._model(batch32, params=params['dcn'])
             else:
-                y, _ = jpeg_models.jpeg_forward(batch, q_luma, q_chroma,
+                y, _ = jpeg_models.jpeg_forward(batch32, q_luma, q_chroma,
                                                 rounding=self.codec.codec
                                                 if self.codec.codec != 'libjpeg' else 'soft')
-            return y, jnp.float32(0.0)
+            return y.astype(self._channel_dtype), jnp.float32(0.0)
         if compression == 'dcn':
-            return self.codec._apply(params['dcn'], batch)
+            y, entropy = self.codec._apply(params['dcn'], batch.astype(jnp.float32))
+            return y.astype(self._channel_dtype), entropy
         return batch, jnp.float32(0.0)
 
     def _forward(self, params, batch_x, key, q_luma, q_chroma,
@@ -264,7 +278,8 @@ class ManipulationClassification:
         loss_nip = (self.nip.loss(batch_y, batch_Y)
                     if batch_y is not None else jnp.float32(0.0))
         if self.codec is not None:
-            loss_dcn = self.codec.loss(batch_c, batch_C, entropy)
+            loss_dcn = self.codec.loss(batch_c.astype(jnp.float32),
+                                       batch_C.astype(jnp.float32), entropy)
         else:
             loss_dcn = jnp.float32(0.0)
 

@@ -211,3 +211,43 @@ class TestDeterminism:
             l1, _ = f1.training_step(bx, by, lambda_nip=0.1)
             l2, _ = f2.training_step(bx, by, lambda_nip=0.1)
         assert float(l1) == float(l2)
+
+
+class TestChannelDtype:
+    def test_bfloat16_channel_tracks_float32(self):
+        """bfloat16 distribution channel: finite training, CE trajectory within
+        noise of the f32 path (losses/dJPEG internals stay f32)."""
+        import jax.numpy as jnp
+        from neural_imaging_tpu.workflows import ManipulationClassification
+
+        def make(dt):
+            f = ManipulationClassification(
+                'INet', manipulations=['sharpen:1', 'gaussian:0.83', 'jpeg:80'],
+                distribution={'downsampling': 'pool:2', 'compression': 'jpeg',
+                              'compression_params': {'quality': 50, 'codec': 'soft'}},
+                fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0},
+                trainable={'nip'}, raw_patch_size=16, channel_dtype=dt, rng_seed=7)
+            f.nan_check = False
+            return f
+
+        rng = np.random.default_rng(0)
+        bx = rng.random((4, 16, 16, 4)).astype(np.float32)
+        by = rng.random((4, 32, 32, 3)).astype(np.float32)
+        losses = {}
+        for dt in ('float32', 'bfloat16'):
+            f = make(dt)
+            losses[dt] = [float(f.training_step(bx, by, lambda_nip=0.1,
+                                                learning_rate=1e-3)[0])
+                          for _ in range(4)]
+            f.assert_finite()
+            # FAN sees the channel dtype; probabilities are f32
+            *_, probs = f.run_workflow(bx)
+            assert probs.dtype == jnp.float32
+        for a, b in zip(losses['float32'], losses['bfloat16']):
+            assert abs(a - b) / abs(a) < 1e-3
+
+    def test_invalid_dtype_rejected(self):
+        from neural_imaging_tpu.workflows import ManipulationClassification
+        with pytest.raises(ValueError):
+            ManipulationClassification('INet', raw_patch_size=16,
+                                       channel_dtype='float16')

@@ -58,6 +58,10 @@ def main():
                         help='comma-separated manipulations, e.g. sharpen:1,gaussian')
     parser.add_argument('--fan', default=None, help='JSON with FAN hyper-params')
     parser.add_argument('--augment', action='store_true')
+    parser.add_argument('--channel-dtype', default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='distribution-channel compute dtype (bfloat16 halves '
+                             'HBM traffic at large patches; losses stay f32)')
     parser.add_argument('--val-schedule', type=int, default=50)
     parser.add_argument('--overwrite', action='store_true')
     args = parser.parse_args()
@@ -101,7 +105,7 @@ def main():
         flow = ManipulationClassification(
             args.nip, manipulations=manipulations, distribution=distribution,
             fan_args=fan_args, trainable=trainable, raw_patch_size=args.patch,
-            loss_metric=args.loss_metric)
+            loss_metric=args.loss_metric, channel_dtype=args.channel_dtype)
 
         training = {
             'camera_name': cam,
