@@ -42,14 +42,23 @@ def _const_init(value):
 class INetCore(nn.Module):
     """Classic-pipeline-as-CNN (ref models/pipelines.py:233): fixed-initialized
     upsample → depth_to_space → bilinear demosaic conv → sRGB 1x1 → 2-layer tanh
-    gamma net; all but the upsampling kernel are trainable."""
+    gamma net; all but the upsampling kernel are trainable.
+
+    ``conv_precision``: MXU precision for the convs — 'highest' (f32, default;
+    keeps the 0.1 dB oracle parity) | 'high' (bf16x3) | 'default' (bf16 fast
+    path). Lower settings are a throughput option for the joint workflow, where
+    the ISP gradient path dominates the step at large patches."""
     kernel: int = 5
     random_init: bool = False
     trainable_upsampling: bool = False
     cfa_pattern: str = 'gbrg'
+    conv_precision: str = 'highest'
 
     @nn.compact
     def __call__(self, x):
+        prec = {'highest': jax.lax.Precision.HIGHEST,
+                'high': jax.lax.Precision.HIGH,
+                'default': jax.lax.Precision.DEFAULT}[self.conv_precision]
         rng = np.random.RandomState(1234)
         upk = upsampling_kernel(self.cfa_pattern).reshape(1, 1, 4, 12)
 
@@ -71,24 +80,24 @@ class INetCore(nn.Module):
         if self.trainable_upsampling:
             upk = self.param('upsampling', _const_init(upk), upk.shape)
 
-        h12 = ops.conv2d(x, upk)
+        h12 = ops.conv2d(x, upk, precision=prec)
         bayer = ops.depth_to_space(h12, 2)
 
         pad = (self.kernel - 1) // 2
         bayer = ops.pad2d(bayer, pad, 'reflect')
         dm = self.param('demosaic', _const_init(dmf), dmf.shape)
-        rgb = ops.conv2d(bayer, dm, padding='VALID')
+        rgb = ops.conv2d(bayer, dm, padding='VALID', precision=prec)
 
         srgb_k = self.param('srgb', _const_init(srgbk), srgbk.shape)
-        srgb = ops.conv2d(rgb, srgb_k)
+        srgb = ops.conv2d(rgb, srgb_k, precision=prec)
 
         gk1 = self.param('gamma_d1_kernel', _const_init(g1k), g1k.shape)
         gb1 = self.param('gamma_d1_bias', _const_init(g1b), g1b.shape)
         gk2 = self.param('gamma_d2_kernel', _const_init(g2k), g2k.shape)
         gb2 = self.param('gamma_d2_bias', _const_init(g2b), g2b.shape)
 
-        g = jnp.tanh(ops.conv2d(srgb, gk1) + gb1)
-        y = ops.conv2d(g, gk2) + gb2
+        g = jnp.tanh(ops.conv2d(srgb, gk1, precision=prec) + gb1)
+        y = ops.conv2d(g, gk2, precision=prec) + gb2
         return ops.st_clip(y)
 
 
@@ -361,18 +370,21 @@ class INet(NIPModel):
     """Neural replication of the classic pipeline steps."""
 
     def construct_model(self, random_init=False, kernel=5, trainable_upsampling=False,
-                        cfa_pattern='gbrg'):
+                        cfa_pattern='gbrg', conv_precision='highest'):
         self._h = paramspec.ParamSpec({
             'random_init': (False, bool, None),
             'kernel': (5, int, (3, 11)),
             'trainable_upsampling': (False, bool, None),
             'cfa_pattern': ('gbrg', str, {'gbrg', 'rggb', 'bggr'}),
+            'conv_precision': ('highest', str, {'highest', 'high', 'default'}),
         })
         self._h.update(random_init=random_init, kernel=kernel,
-                       trainable_upsampling=trainable_upsampling, cfa_pattern=cfa_pattern)
+                       trainable_upsampling=trainable_upsampling, cfa_pattern=cfa_pattern,
+                       conv_precision=conv_precision)
         self._module = INetCore(kernel=self._h.kernel, random_init=self._h.random_init,
                                 trainable_upsampling=self._h.trainable_upsampling,
-                                cfa_pattern=self._h.cfa_pattern)
+                                cfa_pattern=self._h.cfa_pattern,
+                                conv_precision=self._h.conv_precision)
 
     @property
     def model_code(self):

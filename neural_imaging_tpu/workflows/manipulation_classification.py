@@ -35,7 +35,7 @@ class ManipulationClassification:
 
     def __init__(self, nip_model, manipulations=None, distribution=None, fan_args=None,
                  trainable=None, raw_patch_size=128, loss_metric='L2', rng_seed=0,
-                 remat=False, channel_dtype='float32'):
+                 remat=False, channel_dtype='float32', nip_args=None):
         """
         :param nip_model: '<nip class>[:dirname]' — NIP class + optional pretrained dir
         :param manipulations: list of '<name>[:strength]' specs
@@ -89,7 +89,8 @@ class ManipulationClassification:
             raise ValueError(f'Invalid loss metric ({loss_metric})!')
 
         self.nip = getattr(pipelines, nip_model)(loss_metric=loss_metric,
-                                                 patch_size=raw_patch_size)
+                                                 patch_size=raw_patch_size,
+                                                 **(nip_args or {}))
         if nip_pretrained is not None:
             self.nip.load_model(nip_pretrained)
             logger.info('Loaded NIP weights from %s', nip_pretrained)
