@@ -209,13 +209,23 @@ class TPUModel:
                 {'params': self.params, 'opt_state': self.opt_state}))
         return path
 
-    def load_checkpoint(self, dirname, step=None):
-        """Restore params + optimizer state from an orbax checkpoint."""
+    def load_checkpoint(self, dirname, step=None, sharding=None):
+        """Restore params + optimizer state from an orbax checkpoint.
+
+        ``sharding``: optional jax.sharding.Sharding (e.g. replicated over a
+        Mesh) — arrays are materialized directly with that placement, so a
+        multi-device/multi-host restore never stages the full state through one
+        device's memory."""
+        import jax
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(dirname, 'orbax'))
         with ocp.CheckpointManager(path) as mgr:
             step = mgr.latest_step() if step is None else step
             target = {'params': self.params, 'opt_state': self.opt_state}
+            if sharding is not None:
+                target = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype,
+                                                   sharding=sharding), target)
             restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
         self.params = restored['params']
         self.opt_state = restored['opt_state']
