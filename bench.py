@@ -2,15 +2,20 @@
 """
 Benchmark: the flagship joint manipulation-classification training step
 (NIP → 5-way manipulation expansion → pool:2 → dJPEG(50) → FAN, NIP+FAN trainable)
-at the reference's default scale (batch 20, raw patch 128 → FAN sees 100 patches of
-128x128), on one chip.
+at the reference's default scale — batch 20, raw patch 128 (FAN sees 100 patches
+of 128x128 after pooling; ref training/manipulation.py:25) — on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Configuration: the throughput setting validated by the quality gates — bfloat16
+distribution channel + FAN (E2E gate `train-manipulation-bf16`), INet convs at
+HIGH (bf16x3) MXU precision (joint-run quality parity, docs/benchmarks.md).
+The all-f32 parity-default number is reported in docs/benchmarks.md alongside.
+
 The reference publishes no throughput numbers (BASELINE.md); `vs_baseline` is
-computed against REFERENCE_STEPS_PER_SEC — an estimate of the TF2-GPU baseline for
-the same configuration (single consumer GPU, eager-ish TF2 with per-step host
-round-trips; the north-star target is ≥5x this, BASELINE.md §north-star).
+computed against REFERENCE_STEPS_PER_SEC — an *estimate* of a TF2-GPU baseline
+(single consumer GPU, eager-ish TF2 with per-step host round-trips). Treat the
+ratio as indicative; the measured steps/s is the ground truth.
 """
 import json
 import sys
@@ -22,9 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_STEPS_PER_SEC = 2.0  # estimated TF2-GPU baseline (see module docstring)
 
 BATCH = 20
-RAW_PATCH = 64  # RGB patches 128x128 after the ISP; FAN sees (K+1)*20 patches
+RAW_PATCH = 128  # reference default; RGB patches are 256x256 pre-pooling
 WARMUP = 3
-ITERS = 40
+ITERS = 30
 REPEATS = 3  # report the best timing window (tunnel latency to the dev TPU is noisy)
 
 
@@ -42,15 +47,17 @@ def main():
         manipulations=['sharpen', 'resample', 'gaussian', 'jpeg'],
         distribution={'downsampling': 'pool:2', 'compression': 'jpeg',
                       'compression_params': {'quality': 50, 'codec': 'soft'}},
-        fan_args={},
+        fan_args={'dtype': 'bfloat16'},
         trainable={'nip'},
-        raw_patch_size=RAW_PATCH)
+        raw_patch_size=RAW_PATCH,
+        channel_dtype='bfloat16',
+        nip_args={'conv_precision': 'high'})
     # defer the NaN guard to the end so host dispatch pipelines with device compute
     flow.nan_check = False
 
     rng = np.random.default_rng(0)
-    bx = rng.random((BATCH, RAW_PATCH, RAW_PATCH, 4), dtype=np.float64).astype(np.float32)
-    by = rng.random((BATCH, 2 * RAW_PATCH, 2 * RAW_PATCH, 3), dtype=np.float64).astype(np.float32)
+    bx = rng.random((BATCH, RAW_PATCH, RAW_PATCH, 4)).astype(np.float32)
+    by = rng.random((BATCH, 2 * RAW_PATCH, 2 * RAW_PATCH, 3)).astype(np.float32)
     bx = jax.device_put(bx)
     by = jax.device_put(by)
 
