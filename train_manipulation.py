@@ -62,6 +62,9 @@ def main():
                         choices=['float32', 'bfloat16'],
                         help='distribution-channel compute dtype (bfloat16 halves '
                              'HBM traffic at large patches; losses stay f32)')
+    parser.add_argument('--nip-params', default=None,
+                        help="JSON with NIP constructor kwargs, e.g. "
+                             "\"{'conv_precision': 'high'}\"")
     parser.add_argument('--val-schedule', type=int, default=50)
     parser.add_argument('--overwrite', action='store_true')
     args = parser.parse_args()
@@ -88,6 +91,7 @@ def main():
     trainable = set(args.train)
     manipulations = args.manip.split(',') if args.manip else None
     fan_args = parse_json_arg(args.fan)
+    nip_params = parse_json_arg(args.nip_params)
 
     n_images, v_images, val_n_patches = parse_split(args.split)
     load = 'y' if args.nip == 'ONet' else 'xy'
@@ -105,7 +109,8 @@ def main():
         flow = ManipulationClassification(
             args.nip, manipulations=manipulations, distribution=distribution,
             fan_args=fan_args, trainable=trainable, raw_patch_size=args.patch,
-            loss_metric=args.loss_metric, channel_dtype=args.channel_dtype)
+            loss_metric=args.loss_metric, channel_dtype=args.channel_dtype,
+            nip_args=nip_params)
 
         training = {
             'camera_name': cam,
