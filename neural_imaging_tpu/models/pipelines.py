@@ -556,6 +556,44 @@ class ClassicISP(NIPModel):
         return f'{self.class_name}[{self._h.cfa_pattern}, {nf}+1 conv2D {self._h.kernel}x{self._h.kernel}x{fs} > 1x1x3]'
 
 
+def tensor_isp(x, srgb_mat=None, cfa_pattern='gbrg', brightness='percentile'):
+    """Toy stateless ISP for debugging and testing (the TPU-native equivalent of
+    the reference's unexported ``__TensorISP`` debug class, ref
+    models/pipelines.py:365-412): fixed CFA upsampling → depth_to_space →
+    reflect-padded bilinear demosaic → sRGB matrix → optional brightness
+    normalization → straight-through clip → gamma 1/2.2. For real work use
+    ``ClassicISP``, which integrates with the rest of the framework.
+
+    ``x`` is an (N, h/2, w/2, 4) RGGB stack in [0,1]; returns (N, h, w, 3).
+    Pure and jittable for 'shift'/None brightness; 'percentile' normalization
+    uses quantiles of the traced tensor (also jittable — implemented with
+    ``jnp.percentile`` rather than the reference's host-side ``np.percentile``).
+    """
+    kernel = 5
+    x = jnp.asarray(x, jnp.float32)
+    upk = upsampling_kernel(cfa_pattern).reshape(1, 1, 4, 12)
+    dmf = bilin_kernel(kernel)
+    if srgb_mat is None:
+        srgb_mat = np.eye(3)
+    srgb_k = np.asarray(srgb_mat, np.float32).T.reshape(1, 1, 3, 3)
+
+    pad = (kernel - 1) // 2
+    h12 = ops.conv2d(x, upk)
+    bayer = ops.depth_to_space(h12, 2)
+    rgb = ops.conv2d(ops.pad2d(bayer, pad, 'reflect'), dmf, padding='VALID')
+    rgb = ops.conv2d(rgb, srgb_k)
+
+    if brightness:
+        if brightness == 'percentile':
+            rgb = ops.percentile_normalize(rgb, 0.5)
+        elif brightness == 'shift':
+            rgb = rgb * (0.25 / jnp.mean(rgb))
+        else:
+            raise ValueError('Brightness normalization not recognized!')
+
+    return jnp.power(ops.st_clip(rgb), 1 / 2.2)
+
+
 supported_models = [name for name, obj in inspect.getmembers(sys.modules[__name__])
                     if isinstance(obj, type) and issubclass(obj, NIPModel)
                     and name != 'NIPModel']

@@ -147,14 +147,26 @@ class TestWorkflowTools:
     def test_test_fan_revalidation(self, manip_run, dataset_dir):
         proc = run_cli(['test_fan.py', '--run-dir', manip_run['run_dir'],
                         '--data', dataset_dir, '--split', '0:2:1', '--patch', '16'])
-        assert 'Accuracy:' in proc.stdout
+        assert 'Accuracy validated/expected:' in proc.stdout
         assert 'native' in proc.stdout  # confusion table rendered
 
     def test_test_fan_channel_override(self, manip_run, dataset_dir):
         proc = run_cli(['test_fan.py', '--run-dir', manip_run['run_dir'],
                         '--data', dataset_dir, '--split', '0:2:1', '--patch', '16',
                         '--jpeg', '60'])
-        assert 'Accuracy:' in proc.stdout
+        assert 'Accuracy validated/expected:' in proc.stdout
+
+    def test_test_fan_directory_scan(self, manip_run, dataset_dir):
+        # --dir/--re scan over **/training.json (ref test_fan.py:77-124): one
+        # matching run validated, non-matching regex skips everything.
+        proc = run_cli(['test_fan.py', '--dir', manip_run['root'],
+                        '--data', dataset_dir, '--split', '0:2:1', '--patch', '16'])
+        assert 'candidate training sessions' in proc.stdout
+        assert 'Accuracy validated/expected:' in proc.stdout
+        proc = run_cli(['test_fan.py', '--dir', manip_run['root'], '--re', 'no-such-run',
+                        '--data', dataset_dir, '--split', '0:2:1', '--patch', '16'])
+        assert 'Skipping' in proc.stdout
+        assert 'validated/expected' not in proc.stdout
 
     def test_results_df(self, manip_run):
         proc = run_cli(['results.py', 'df', '--dir', manip_run['root']])

@@ -156,3 +156,29 @@ class TestClassicISP:
 class TestRegistry:
     def test_supported_models(self):
         assert set(pipelines.supported_models) == {'INet', 'UNet', 'DNet', 'ONet', 'ClassicISP'}
+
+
+class TestTensorISP:
+    """The debug toy ISP (ref models/pipelines.py:365-412)."""
+
+    def test_shapes_range_and_jit(self):
+        import jax
+        import jax.numpy as jnp
+        rng = np.random.default_rng(3)
+        x = rng.random((2, 8, 8, 4)).astype(np.float32)
+        for brightness in ('percentile', 'shift', None):
+            y = np.asarray(pipelines.tensor_isp(x, brightness=brightness))
+            assert y.shape == (2, 16, 16, 3)
+            assert np.isfinite(y).all() and y.min() >= 0 and y.max() <= 1
+        jitted = jax.jit(lambda v: pipelines.tensor_isp(v, brightness='shift'))
+        np.testing.assert_allclose(np.asarray(jitted(x)),
+                                   np.asarray(pipelines.tensor_isp(x, brightness='shift')),
+                                   atol=1e-6)
+        # straight-through clip: gradients flow through the whole chain
+        g = jax.grad(lambda v: jnp.sum(pipelines.tensor_isp(v, brightness=None)))(x)
+        assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+    def test_rejects_unknown_brightness(self):
+        x = np.zeros((1, 4, 4, 4), np.float32)
+        with pytest.raises(ValueError):
+            pipelines.tensor_isp(x, brightness='nope')
