@@ -44,21 +44,27 @@ class INetCore(nn.Module):
     upsample → depth_to_space → bilinear demosaic conv → sRGB 1x1 → 2-layer tanh
     gamma net; all but the upsampling kernel are trainable.
 
-    ``conv_precision``: MXU precision for the convs — 'highest' (f32, default;
-    keeps the 0.1 dB oracle parity) | 'high' (bf16x3) | 'default' (bf16 fast
-    path). Lower settings are a throughput option for the joint workflow, where
-    the ISP gradient path dominates the step at large patches."""
+    ``conv_precision``: how the convs are computed — 'exact' (f32 on the VPU
+    via :func:`ops.small_conv2d`, default: same numerics as 'highest' at the
+    speed of the bf16 fast path — the kernels here have 3-4 channel fan-in, for
+    which MXU lowering is pathological, see small_conv2d) | 'highest' (f32 MXU
+    emulation; keeps the 0.1 dB oracle parity) | 'high' (bf16x3) | 'default'
+    (bf16 fast path)."""
     kernel: int = 5
     random_init: bool = False
     trainable_upsampling: bool = False
     cfa_pattern: str = 'gbrg'
-    conv_precision: str = 'highest'
+    conv_precision: str = 'exact'
 
     @nn.compact
     def __call__(self, x):
-        prec = {'highest': jax.lax.Precision.HIGHEST,
-                'high': jax.lax.Precision.HIGH,
-                'default': jax.lax.Precision.DEFAULT}[self.conv_precision]
+        if self.conv_precision == 'exact':
+            conv = ops.small_conv2d
+        else:
+            prec = {'highest': jax.lax.Precision.HIGHEST,
+                    'high': jax.lax.Precision.HIGH,
+                    'default': jax.lax.Precision.DEFAULT}[self.conv_precision]
+            conv = functools.partial(ops.conv2d, precision=prec)
         rng = np.random.RandomState(1234)
         upk = upsampling_kernel(self.cfa_pattern).reshape(1, 1, 4, 12)
 
@@ -80,24 +86,24 @@ class INetCore(nn.Module):
         if self.trainable_upsampling:
             upk = self.param('upsampling', _const_init(upk), upk.shape)
 
-        h12 = ops.conv2d(x, upk, precision=prec)
+        h12 = conv(x, upk)
         bayer = ops.depth_to_space(h12, 2)
 
         pad = (self.kernel - 1) // 2
         bayer = ops.pad2d(bayer, pad, 'reflect')
         dm = self.param('demosaic', _const_init(dmf), dmf.shape)
-        rgb = ops.conv2d(bayer, dm, padding='VALID', precision=prec)
+        rgb = conv(bayer, dm, padding='VALID')
 
         srgb_k = self.param('srgb', _const_init(srgbk), srgbk.shape)
-        srgb = ops.conv2d(rgb, srgb_k, precision=prec)
+        srgb = conv(rgb, srgb_k)
 
         gk1 = self.param('gamma_d1_kernel', _const_init(g1k), g1k.shape)
         gb1 = self.param('gamma_d1_bias', _const_init(g1b), g1b.shape)
         gk2 = self.param('gamma_d2_kernel', _const_init(g2k), g2k.shape)
         gb2 = self.param('gamma_d2_bias', _const_init(g2b), g2b.shape)
 
-        g = jnp.tanh(ops.conv2d(srgb, gk1, precision=prec) + gb1)
-        y = ops.conv2d(g, gk2, precision=prec) + gb2
+        g = jnp.tanh(conv(srgb, gk1) + gb1)
+        y = conv(g, gk2) + gb2
         return ops.st_clip(y)
 
 
@@ -370,13 +376,13 @@ class INet(NIPModel):
     """Neural replication of the classic pipeline steps."""
 
     def construct_model(self, random_init=False, kernel=5, trainable_upsampling=False,
-                        cfa_pattern='gbrg', conv_precision='highest'):
+                        cfa_pattern='gbrg', conv_precision='exact'):
         self._h = paramspec.ParamSpec({
             'random_init': (False, bool, None),
             'kernel': (5, int, (3, 11)),
             'trainable_upsampling': (False, bool, None),
             'cfa_pattern': ('gbrg', str, {'gbrg', 'rggb', 'bggr'}),
-            'conv_precision': ('highest', str, {'highest', 'high', 'default'}),
+            'conv_precision': ('exact', str, {'exact', 'highest', 'high', 'default'}),
         })
         self._h.update(random_init=random_init, kernel=kernel,
                        trainable_upsampling=trainable_upsampling, cfa_pattern=cfa_pattern,

@@ -31,6 +31,39 @@ def conv2d(x, kernel, stride=1, padding='SAME', precision=jax.lax.Precision.HIGH
         dimension_numbers=_DIMENSION_NUMBERS, precision=precision)
 
 
+def small_conv2d(x, kernel, padding='SAME'):
+    """Exact-f32 NHWC conv for kernels with tiny channel fan-in/out, computed on
+    the VPU as shifted-slice broadcast multiply-sums instead of an MXU matmul.
+
+    Rationale: TPU matmul units natively accumulate bf16 products; true-f32
+    convs (Precision.HIGHEST) are emulated with a multi-pass bf16 decomposition,
+    and for 3→3-channel kernels the channel dimension is also padded to the
+    128-lane MXU tile — measured on the joint workflow, INet's fixed-filter
+    convs at HIGHEST are ~40% of the whole train step (docs/benchmarks.md). For
+    a k×k kernel this formulation issues k² shifted views of the input, each
+    contracted over the (tiny) channel axis elementwise — f32 throughout, no
+    emulation passes, no lane padding. Only sensible when Cin·Cout is small
+    (≲64 pairs); large convs should stay on the MXU via :func:`conv2d`.
+    """
+    kernel = jnp.asarray(kernel, dtype=x.dtype)
+    kh, kw, cin, cout = kernel.shape
+    if padding == 'SAME':
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        x = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+    elif padding != 'VALID':
+        x = jnp.pad(x, ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)))
+    h = x.shape[1] - kh + 1
+    w = x.shape[2] - kw + 1
+    out = jnp.zeros(x.shape[:1] + (h, w, cout), dtype=x.dtype)
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = jax.lax.slice(x, (0, dy, dx, 0),
+                                  (x.shape[0], dy + h, dx + w, x.shape[3]))
+            # (N,H,W,Cin,1) * (Cin,Cout) summed over Cin — pure VPU FMAs
+            out = out + jnp.sum(patch[..., :, None] * kernel[dy, dx], axis=-2)
+    return out
+
+
 def depth_to_space(x, block=2):
     """TF-semantics depth_to_space: channel (i*block+j)*C + c → subpixel (i, j)."""
     n, h, w, c = x.shape

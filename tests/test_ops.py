@@ -1,4 +1,5 @@
 """Tests for the core op layer: shuffles, DCT, color, SSIM, quantization, manipulations."""
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -290,3 +291,40 @@ class TestTracedManipulations:
         n = calls._cache_size()
         calls(self.x, jnp.float32(1.2))
         assert calls._cache_size() == n
+
+
+class TestSmallConv2D:
+    """Exact-f32 VPU conv for tiny channel counts (ops.small_conv2d) must match
+    the MXU HIGHEST path bit-for-bit up to f32 accumulation order."""
+
+    @pytest.mark.parametrize('kshape,padding', [
+        ((1, 1, 4, 12), 'SAME'),
+        ((3, 3, 3, 3), 'SAME'),
+        ((5, 5, 3, 3), 'VALID'),
+        ((2, 4, 2, 5), 'SAME'),    # even/rectangular kernel
+        ((3, 3, 12, 3), 'VALID'),
+    ])
+    def test_matches_lax_conv(self, kshape, padding):
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(2, 17, 13, kshape[2])).astype(np.float32)
+        k = rng.normal(size=kshape).astype(np.float32)
+        got = np.asarray(ops.small_conv2d(x, k, padding=padding))
+        want = np.asarray(ops.conv2d(x, k, padding=padding,
+                                     precision=jax.lax.Precision.HIGHEST))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_lax_conv(self):
+        rng = np.random.default_rng(8)
+        x = rng.normal(size=(1, 12, 12, 3)).astype(np.float32)
+        k = rng.normal(size=(3, 3, 3, 3)).astype(np.float32)
+
+        def loss(fn, x, k):
+            return jnp.sum(fn(x, k) ** 2)
+
+        gx_a, gk_a = jax.grad(lambda x, k: loss(ops.small_conv2d, x, k), (0, 1))(x, k)
+        gx_b, gk_b = jax.grad(
+            lambda x, k: loss(functools.partial(
+                ops.conv2d, precision=jax.lax.Precision.HIGHEST), x, k), (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk_a), np.asarray(gk_b), rtol=1e-4, atol=1e-4)
