@@ -41,7 +41,7 @@ class ConstrainedConv(nn.Module):
         nf = nf - self.filter_strength * mask
 
         xp = ops.pad2d(x, 2, 'symmetric')
-        return ops.conv2d(xp, nf, padding='VALID')
+        return ops.small_conv2d(xp, nf, padding='VALID')
 
 
 class FANCore(nn.Module):

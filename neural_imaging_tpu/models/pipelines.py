@@ -161,7 +161,7 @@ class DNetCore(nn.Module):
             h = ops.pad2d(h, pad, 'reflect')
 
         upk = upsampling_kernel().reshape(1, 1, 4, 12)
-        bayer = ops.depth_to_space(ops.conv2d(x, upk), 2)
+        bayer = ops.depth_to_space(ops.small_conv2d(x, upk), 2)
 
         features = ops.depth_to_space(h.astype(jnp.float32), 2)
         hf = jnp.concatenate([features, bayer], axis=-1).astype(self.dtype)
@@ -199,7 +199,7 @@ class DemosaicingModule(nn.Module):
         if self.residual:
             bilinear_k = bilin_kernel(self.kernel)
             pad = (self.kernel - 1) // 2
-            base = ops.conv2d(ops.pad2d(bayer, pad, 'reflect'), bilinear_k, padding='VALID')
+            base = ops.small_conv2d(ops.pad2d(bayer, pad, 'reflect'), bilinear_k, padding='VALID')
             alpha = self.param('alpha', _const_init(np.float32(0.1)), ())
             if self.c_filters:
                 f = bayer
@@ -232,7 +232,7 @@ class ClassicISPCore(nn.Module):
     @nn.compact
     def __call__(self, x, srgb_mat=None):
         upk = upsampling_kernel(self.cfa_pattern).reshape(1, 1, 4, 12)
-        bayer = ops.depth_to_space(ops.conv2d(x, upk), 2)
+        bayer = ops.depth_to_space(ops.small_conv2d(x, upk), 2)
 
         rgb = DemosaicingModule(self.c_filters, self.kernel, 'leaky_relu',
                                 self.residual, name='demosaicing')(bayer)
@@ -584,10 +584,10 @@ def tensor_isp(x, srgb_mat=None, cfa_pattern='gbrg', brightness='percentile'):
     srgb_k = np.asarray(srgb_mat, np.float32).T.reshape(1, 1, 3, 3)
 
     pad = (kernel - 1) // 2
-    h12 = ops.conv2d(x, upk)
+    h12 = ops.small_conv2d(x, upk)
     bayer = ops.depth_to_space(h12, 2)
-    rgb = ops.conv2d(ops.pad2d(bayer, pad, 'reflect'), dmf, padding='VALID')
-    rgb = ops.conv2d(rgb, srgb_k)
+    rgb = ops.small_conv2d(ops.pad2d(bayer, pad, 'reflect'), dmf, padding='VALID')
+    rgb = ops.small_conv2d(rgb, srgb_k)
 
     if brightness:
         if brightness == 'percentile':

@@ -62,7 +62,7 @@ def gaussian(x, kernel=5, std=0.83, skip_clip=False):
     for r in range(3):
         gfilter[:, :, r, r] = gk
     xp = ops.pad2d(x, kernel // 2, 'reflect')
-    y = ops.conv2d(xp, gfilter, padding='VALID')
+    y = ops.small_conv2d(xp, gfilter, padding='VALID')
     return y if skip_clip else jnp.clip(y, 0, 1)
 
 
@@ -86,7 +86,7 @@ def sharpen(x, strength=1.0, hsv=True):
     y = ops.pad2d(x, 1, 'symmetric')
     if hsv:
         y = color.rgb_to_hsv(y)
-    y = ops.conv2d(y, gfilter, padding='VALID')
+    y = ops.small_conv2d(y, gfilter, padding='VALID')
     if hsv:
         y = color.hsv_to_rgb(y)
     return jnp.clip(y, 0, 1)
@@ -104,7 +104,7 @@ def residual(x, hsv=False):
     y = ops.pad2d(x, 1, 'reflect')
     if hsv:
         y = color.rgb_to_hsv(y)
-    y = ops.conv2d(y, gfilter.astype(np.float32), padding='VALID')
+    y = ops.small_conv2d(y, gfilter.astype(np.float32), padding='VALID')
     if hsv:
         y = color.hsv_to_rgb(y)
     return y
@@ -132,7 +132,7 @@ def sharpen_traced(x, strength, hsv=True):
     y = ops.pad2d(x, 1, 'symmetric')
     if hsv:
         y = color.rgb_to_hsv(y)
-    y = ops.conv2d(y, gfilter, padding='VALID')
+    y = ops.small_conv2d(y, gfilter, padding='VALID')
     if hsv:
         y = color.hsv_to_rgb(y)
     return jnp.clip(y, 0, 1)
@@ -146,7 +146,7 @@ def gaussian_traced(x, std, kernel=5):
     g2 = g2 / g2.sum()
     eye3 = jnp.eye(3, dtype=x.dtype)
     gfilter = g2[:, :, None, None] * eye3[None, None, :, :]
-    y = ops.conv2d(ops.pad2d(x, kernel // 2, 'reflect'), gfilter, padding='VALID')
+    y = ops.small_conv2d(ops.pad2d(x, kernel // 2, 'reflect'), gfilter, padding='VALID')
     return jnp.clip(y, 0, 1)
 
 
