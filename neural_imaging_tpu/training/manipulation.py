@@ -102,6 +102,10 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
     lr_decay_rate = 0.90
     learning_rate = training['learning_rate']
     n_batches = data.count_training // training['batch_size']
+    if n_batches == 0:
+        raise ValueError(
+            f'Batch size ({training["batch_size"]}) exceeds dataset size '
+            f'({data.count_training}) — zero training batches per epoch!')
 
     if training['use_pretrained_nip'] and flow.nip.count_parameters() > 0:
         nip_dirname = os.path.join(directories['nip_snapshots'],

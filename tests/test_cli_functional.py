@@ -58,7 +58,7 @@ def manip_run(tmp_path_factory, dataset_dir):
     root = tmp_path_factory.mktemp('cli_manip')
     run_cli(['train_manipulation.py', '--nip', 'INet', '--cam', 'SyntheticCam',
              '--data', dataset_dir, '--split', '2:2:1', '--epochs', '4',
-             '--patch', '16', '--batch', '4', '--val-schedule', '2',
+             '--patch', '16', '--batch', '2', '--val-schedule', '2',
              '--manip', 'sharpen,gaussian', '--ds', 'none', '--dir', str(root),
              '--fan', "{'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0}"])
     run_dir = os.path.join(str(root), 'SyntheticCam', 'INet', 'fixed-nip',
