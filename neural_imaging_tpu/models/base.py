@@ -17,6 +17,7 @@ import os
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import traverse_util
@@ -189,9 +190,14 @@ class TPUModel:
         with np.load(filename) as z:
             flat = {k: z[k] for k in z.files}
         restored = traverse_util.unflatten_dict(flat, sep='/')
-        # keep existing tree structure/dtypes where shapes match
-        self.params = jax.tree.map(lambda old, new: np.asarray(new, dtype=np.asarray(old).dtype),
-                                   self.params, restored)
+        # Keep existing tree structure/dtypes where shapes match. Leaves are
+        # committed to device (jnp) at load time: numpy leaves would be
+        # re-transferred host->device on EVERY jitted call that consumes them —
+        # for a frozen 30 MB UNet inside the joint workflow that was ~5 s/step
+        # over a tunneled TPU link vs ~50 ms with device-resident params.
+        self.params = jax.tree.map(
+            lambda old, new: jnp.asarray(np.asarray(new, dtype=np.asarray(old).dtype)),
+            self.params, restored)
         self.init_optimizer()
         self.reset_performance_stats()
 

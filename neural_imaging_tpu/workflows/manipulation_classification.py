@@ -183,7 +183,10 @@ class ManipulationClassification:
         elif (self._distribution['compression'] == 'jpeg'
               and getattr(self.codec, 'trainable', False)):
             params['dcn'] = self.codec._model.params
-        return params
+        # Commit to device: numpy leaves (e.g. npz-restored weights) would be
+        # re-transferred on every jitted call — frozen partitions are never
+        # replaced by jit outputs, so they would pay that upload each step.
+        return jax.tree.map(jnp.asarray, params)
 
     def _train_partition(self, params):
         return {k: v for k, v in params.items() if k in self._trainable}
