@@ -199,7 +199,12 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
                                                   quiet=True)
                 flow.fan.save_model(os.path.join(model_directory, flow.fan.scoped_name),
                                     epoch, quiet=True)
-                if flow.is_trainable('nip'):
+                if flow.nip.count_parameters() > 0:
+                    # Snapshot the NIP even when frozen: the FAN was trained on
+                    # THIS NIP's output distribution, and re-validation
+                    # (test_fan.py::restore_flow) rebuilds the flow from the run
+                    # directory alone — without the weights it falls back to a
+                    # fresh-initialized NIP and reports shifted accuracies.
                     flow.nip.save_model(os.path.join(model_directory, flow.nip.scoped_name),
                                         epoch, quiet=True)
                 from neural_imaging_tpu.models.compression import DCN
@@ -243,7 +248,8 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
 
     logger.info('Saving models...')
     flow.fan.save_model(os.path.join(model_directory, flow.fan.scoped_name), epoch)
-    if flow.is_trainable('nip'):
+    if flow.nip.count_parameters() > 0:
+        # Always snapshot the NIP (see the validation-point save above).
         flow.nip.save_model(os.path.join(model_directory, flow.nip.scoped_name), epoch)
     if flow.is_trainable('dcn') and isinstance(flow.codec, DCN):
         flow.codec.save_model(os.path.join(model_directory, flow.codec.scoped_name), epoch)
