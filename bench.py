@@ -75,11 +75,35 @@ def main():
     flow.assert_finite()
 
     steps_per_sec = ITERS / best
+
+    # XLA cost analysis of the SAME compiled step (cache hit on re-lower) →
+    # FLOPs/step and achieved MFU / HBM-bandwidth fraction vs the chip's peaks.
+    from neural_imaging_tpu.utils import profiling
+    import jax.numpy as jnp
+    extras = {}
+    try:
+        step = flow._jitted[('train', False, True)]
+        cost = profiling.step_cost(
+            step, flow._train_partition(flow.params),
+            flow._frozen_partition(flow.params), flow.opt_state, flow._key,
+            bx, by, jnp.float32(0.1), jnp.float32(0.0), jnp.float32(1e-4))
+        util = profiling.utilization(cost['flops'], cost['bytes_accessed'],
+                                     1.0 / steps_per_sec)
+        extras = {
+            'flops_per_step': cost['flops'],
+            'mfu': round(util['mfu'], 4) if 'mfu' in util else None,
+            'hbm_util': round(util['hbm_util'], 4) if 'hbm_util' in util else None,
+            'device_kind': jax.devices()[0].device_kind,
+        }
+    except Exception as e:  # cost analysis must never fail the bench
+        extras = {'cost_analysis_error': str(e)}
+
     print(json.dumps({
         'metric': f'joint NIP+dJPEG+FAN train steps/s (batch {BATCH}, raw patch {RAW_PATCH}, 5 classes)',
         'value': round(steps_per_sec, 3),
         'unit': 'steps/s',
         'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+        **extras,
     }))
 
 

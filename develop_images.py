@@ -28,6 +28,11 @@ def main():
                         help="'auto', 'manual', or a NIP class (INet/UNet/DNet/ClassicISP)")
     parser.add_argument('--model-dir', default=None, help='trained NIP checkpoint dir')
     parser.add_argument('--cam', default=None, help='camera name for NIP checkpoints')
+    parser.add_argument('--devices', default=None,
+                        help="spatially shard full-resolution NIP development over "
+                             "devices: an int, 'auto' (all local devices) or "
+                             "'none' (default) — the image height axis is split "
+                             "over the mesh; XLA inserts the conv halo exchanges")
     args = parser.parse_args()
 
     setup_logging()
@@ -40,6 +45,22 @@ def main():
     if not files:
         logger.warning('No RAW files found in %s', args.data_dir)
         return
+
+    # Spatial sharding for full-resolution neural development: one image's rows
+    # split across the mesh (parallel/mesh.py::spatial_sharding). This is the
+    # production consumer of the 2-D ('data','space') mesh — full-res RAWs are
+    # the one input whose activations outgrow a single chip's HBM.
+    spatial_mesh = None
+    if args.devices not in (None, 'none') and args.pipeline not in ('auto', 'manual'):
+        import jax
+        from jax.sharding import Mesh
+        n = len(jax.devices()) if args.devices == 'auto' else int(args.devices)
+        if n > 1:
+            # images are developed one at a time → all devices on the 'space'
+            # (image height) axis
+            spatial_mesh = Mesh(np.array(jax.devices()[:n]).reshape(1, n),
+                                ('data', 'space'))
+            logger.info('Spatially sharding development over %d devices', n)
 
     model = None
     if args.pipeline not in ('auto', 'manual'):
@@ -70,7 +91,18 @@ def main():
                                          brightness=None)).round().astype(np.uint8)
         else:
             stack, *_ = raw_mod.unpack(path)
-            developed = np.asarray(model.process(stack[None].astype(np.float32)))[0]
+            batch = stack[None].astype(np.float32)
+            out_h = 2 * batch.shape[1]  # NIPs upsample the Bayer stack 2x
+            if spatial_mesh is not None:
+                import jax
+                from neural_imaging_tpu.parallel.mesh import spatial_sharding
+                n = spatial_mesh.shape['space']
+                pad = (-batch.shape[1]) % n  # equal shards along the height axis
+                if pad:
+                    batch = np.pad(batch, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                                   mode='reflect')
+                batch = jax.device_put(batch, spatial_sharding(spatial_mesh))
+            developed = np.asarray(model.process(batch))[0, :out_h]
             rgb = (np.clip(developed, 0, 1) * 255).round().astype(np.uint8)
 
         out_path = os.path.join(out_dir, f'{stem}_{suffix}.png')

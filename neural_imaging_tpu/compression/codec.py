@@ -101,8 +101,9 @@ def decompress(stream, model=None, verbose=False):
     if model is None:
         model = restore(f'{n_latent}c')
     if model.latent_shape[-1] != n_latent:
-        print(f'[l3ic decoder] WARNING: model ({model.latent_shape[-1]}c) does not match '
-              f'the coded stream ({n_latent}c) - switching')
+        from neural_imaging_tpu.utils.utils import logger
+        logger.warning('decoder model (%dc) does not match the coded stream (%dc) '
+                       '- switching', model.latent_shape[-1], n_latent)
         model = restore(f'{n_latent}c')
 
     code_book = model.get_codebook()

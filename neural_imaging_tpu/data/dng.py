@@ -2,9 +2,10 @@
 Pure-Python DNG (TIFF-EP) Bayer container support — read and write real camera
 RAW files without libRAW/rawpy.
 
-Scope: uncompressed CFA DNGs (Compression=1, 8/16-bit), the variant produced by
-``dnglab``/``Adobe DNG Converter --uncompressed`` and many cameras' native DNG
-mode. Lossless-JPEG-compressed DNGs still require rawpy and raise a clear error.
+Scope: uncompressed CFA DNGs (Compression=1, 8/16-bit) AND lossless-JPEG
+compressed CFA DNGs (Compression=7, SOF3 via data/ljpeg.py — strips or tiles),
+covering both variants ``dnglab``/``Adobe DNG Converter`` produce and cameras'
+native DNG modes. No rawpy/libRAW anywhere.
 
 The reader implements a real TIFF IFD walk (both byte orders, SubIFD chains) and
 the standard DNG develop math: ``ColorMatrix1`` is XYZ(D65)->camera, so the
@@ -34,6 +35,10 @@ _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
 _TAG_PLANAR_CONFIG = 284
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_BYTE_COUNTS = 325
 _TAG_SUB_IFDS = 330
 _TAG_CFA_REPEAT_DIM = 33421
 _TAG_CFA_PATTERN = 33422
@@ -165,26 +170,28 @@ def read_dng(filename):
         raise DNGError('No CFA (raw) IFD found — not a Bayer DNG?')
 
     compression = _tag(raw_ifd, _TAG_COMPRESSION, (1,))[0]
-    if compression != 1:
+    if compression not in (1, 7):
         raise DNGError(
-            f'Compressed DNG (compression={compression}) is not supported by the '
-            'pure-Python reader; install rawpy/libRAW or convert with '
-            '"dnglab convert --compression=none".')
+            f'Compressed DNG (compression={compression}) is not supported; only '
+            'uncompressed (1) and lossless JPEG (7) CFA data are handled.')
 
     width = _tag(raw_ifd, _TAG_WIDTH)[0]
     length = _tag(raw_ifd, _TAG_LENGTH)[0]
     bits = _tag(raw_ifd, _TAG_BITS, (16,))[0]
-    if bits not in (8, 16):
+    if bits not in (8, 12, 14, 16):
         raise DNGError(f'Unsupported bit depth: {bits}')
-    offsets = _tag(raw_ifd, _TAG_STRIP_OFFSETS)
-    counts = _tag(raw_ifd, _TAG_STRIP_BYTE_COUNTS)
-    if offsets is None or counts is None:
-        raise DNGError('Missing strip offsets/byte counts')
 
-    data = b''.join(buf[o:o + c] for o, c in zip(offsets, counts))
-    dtype = np.dtype(('<' if endian == '<' else '>') + ('u2' if bits == 16 else 'u1'))
-    mosaic = np.frombuffer(data, dtype=dtype, count=width * length)
-    mosaic = mosaic.reshape(length, width).astype(np.uint16)
+    if compression == 7:
+        mosaic = _read_lossless_jpeg_cfa(buf, raw_ifd, length, width)
+    else:
+        offsets = _tag(raw_ifd, _TAG_STRIP_OFFSETS)
+        counts = _tag(raw_ifd, _TAG_STRIP_BYTE_COUNTS)
+        if offsets is None or counts is None:
+            raise DNGError('Missing strip offsets/byte counts')
+        data = b''.join(buf[o:o + c] for o, c in zip(offsets, counts))
+        dtype = np.dtype(('<' if endian == '<' else '>') + ('u2' if bits == 16 else 'u1'))
+        mosaic = np.frombuffer(data, dtype=dtype, count=width * length)
+        mosaic = mosaic.reshape(length, width).astype(np.uint16)
 
     dim = _tag(raw_ifd, _TAG_CFA_REPEAT_DIM, (2, 2))
     if tuple(dim) != (2, 2):
@@ -226,6 +233,58 @@ def read_dng(filename):
     return {'mosaic': mosaic, 'cfa_pattern': cfa_pattern, 'black': black,
             'white': white, 'cam_mul': cam_mul, 'cam2srgb': cam2srgb,
             'camera': camera}
+
+
+def _unpack_ljpeg_segment(stream, th, tw):
+    """Decode one lossless-JPEG segment into a (th, tw) uint16 tile.
+
+    DNG packs CFA rows as multi-component scans (commonly 2 components holding
+    the even/odd mosaic columns); any layout whose total sample count matches
+    the tile is accepted: column-interleaved when dimensions line up exactly,
+    row-major reflow otherwise (dcraw handles the same variants)."""
+    from neural_imaging_tpu.data import ljpeg
+    dec, _ = ljpeg.decode(stream)
+    lines, samples, ncomp = dec.shape
+    if lines == th and samples * ncomp == tw:
+        tile = np.empty((th, tw), dtype=np.uint16)
+        for c in range(ncomp):
+            tile[:, c::ncomp] = dec[:, :, c]
+        return tile
+    if lines * samples * ncomp == th * tw:
+        return dec.reshape(-1)[:th * tw].reshape(th, tw).astype(np.uint16)
+    raise DNGError(f'Lossless-JPEG segment geometry {dec.shape} does not match '
+                   f'the {th}x{tw} tile')
+
+
+def _read_lossless_jpeg_cfa(buf, raw_ifd, length, width):
+    """Decode compression=7 CFA data from strips or tiles."""
+    tile_offsets = _tag(raw_ifd, _TAG_TILE_OFFSETS)
+    if tile_offsets is not None:
+        counts = _tag(raw_ifd, _TAG_TILE_BYTE_COUNTS)
+        tw = _tag(raw_ifd, _TAG_TILE_WIDTH)[0]
+        th = _tag(raw_ifd, _TAG_TILE_LENGTH)[0]
+        tiles_x = (width + tw - 1) // tw
+        mosaic = np.zeros((length, width), dtype=np.uint16)
+        for i, (off, cnt) in enumerate(zip(tile_offsets, counts)):
+            ty, tx = divmod(i, tiles_x)
+            tile = _unpack_ljpeg_segment(buf[off:off + cnt], th, tw)
+            y0, x0 = ty * th, tx * tw
+            h = min(th, length - y0)
+            w = min(tw, width - x0)
+            mosaic[y0:y0 + h, x0:x0 + w] = tile[:h, :w]
+        return mosaic
+
+    offsets = _tag(raw_ifd, _TAG_STRIP_OFFSETS)
+    counts = _tag(raw_ifd, _TAG_STRIP_BYTE_COUNTS)
+    if offsets is None or counts is None:
+        raise DNGError('Missing strip/tile offsets for the compressed CFA data')
+    rows_per_strip = _tag(raw_ifd, _TAG_ROWS_PER_STRIP, (length,))[0]
+    mosaic = np.zeros((length, width), dtype=np.uint16)
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        y0 = i * rows_per_strip
+        h = min(rows_per_strip, length - y0)
+        mosaic[y0:y0 + h] = _unpack_ljpeg_segment(buf[off:off + cnt], h, width)
+    return mosaic
 
 
 def color_matrix_to_cam2srgb(color_matrix_1):
@@ -271,11 +330,18 @@ def _to_rational(v, signed=False, den=10000):
 
 
 def write_dng(filename, mosaic_u16, cfa_pattern='RGGB', black=0, white=None,
-              cam_mul=(1.0, 1.0, 1.0, 1.0), cam2srgb=None, camera='neural-imaging-tpu'):
-    """Write an uncompressed 16-bit Bayer DNG (single IFD, single strip)."""
+              cam_mul=(1.0, 1.0, 1.0, 1.0), cam2srgb=None, camera='neural-imaging-tpu',
+              compression='none'):
+    """Write a 16-bit Bayer DNG (single IFD, single strip).
+
+    ``compression``: 'none' (tag 1, raw little-endian samples) or 'ljpeg'
+    (tag 7, lossless JPEG / SOF3 — the standard compressed-DNG encoding, with
+    the mosaic's even/odd columns as the scan's two components)."""
     mosaic = np.ascontiguousarray(np.asarray(mosaic_u16, dtype=np.uint16))
     if mosaic.ndim != 2:
         raise DNGError('mosaic must be 2-D (H, W)')
+    if compression not in ('none', 'ljpeg'):
+        raise DNGError(f'Unsupported compression {compression!r}')
     h, w = mosaic.shape
     if white is None:
         white = (1 << 16) - 1
@@ -288,14 +354,21 @@ def write_dng(filename, mosaic_u16, cfa_pattern='RGGB', black=0, white=None,
     pattern_codes = tuple(_CFA_CODE_INV[c] for c in cfa_pattern.upper())
 
     endian = '<'
-    pixel_data = mosaic.astype('<u2').tobytes()
+    if compression == 'ljpeg':
+        from neural_imaging_tpu.data import ljpeg
+        if w % 2:
+            raise DNGError('ljpeg DNG writing needs an even mosaic width')
+        comps = np.stack([mosaic[:, 0::2], mosaic[:, 1::2]], axis=-1)
+        pixel_data = ljpeg.encode(comps, precision=16)
+    else:
+        pixel_data = mosaic.astype('<u2').tobytes()
 
     entries = [
         (_TAG_NEW_SUBFILE_TYPE, _LONG, (0,)),
         (_TAG_WIDTH, _LONG, (w,)),
         (_TAG_LENGTH, _LONG, (h,)),
         (_TAG_BITS, _SHORT, (16,)),
-        (_TAG_COMPRESSION, _SHORT, (1,)),
+        (_TAG_COMPRESSION, _SHORT, (7 if compression == 'ljpeg' else 1,)),
         (_TAG_PHOTOMETRIC, _SHORT, (_PHOTOMETRIC_CFA,)),
         (_TAG_MAKE, _ASCII, 'neural-imaging-tpu'),
         (_TAG_MODEL, _ASCII, camera),

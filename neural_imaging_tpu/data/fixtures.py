@@ -135,7 +135,8 @@ def real_photo():
 
 def make_dng_capture(filename, image_rgb=None, cfa_pattern='RGGB', seed=0,
                      cam_mul=(2.0, 1.0, 1.5, 1.0), cam2srgb='example',
-                     black=512, white=16383, camera='SimCam-DNG'):
+                     black=512, white=16383, camera='SimCam-DNG',
+                     compression='none'):
     """
     Simulate a 14-bit camera capture and write it as a real uncompressed DNG file
     (parsable by any DNG-aware tool): sRGB scene → linear → camera color space →
@@ -169,7 +170,7 @@ def make_dng_capture(filename, image_rgb=None, cfa_pattern='RGGB', seed=0,
 
     return dng.write_dng(filename, mosaic_u16, cfa_pattern=cfa_pattern, black=black,
                          white=white, cam_mul=tuple(cam_mul), cam2srgb=cam2srgb,
-                         camera=camera)
+                         camera=camera, compression=compression)
 
 
 def make_quality_dataset(directory, n_images=60, height=256, width=384, seed=900,

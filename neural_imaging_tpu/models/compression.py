@@ -98,10 +98,12 @@ class DCN(TPUModel):
                        rounding=rounding)
         self.patch_size = patch_size
         self.v, self.gamma = float(v), float(gamma)
-        # opt-in fused Pallas quantization+entropy kernel (soft-codebook only);
-        # the XLA path stays the default — at these latent sizes XLA's fused
-        # batched forms are as fast, and numerics are identical (tests/test_pallas.py)
-        self.use_pallas_quantization = bool(kwargs.pop('use_pallas_quantization', False))
+        # Pallas quantization+entropy kernel policy (soft-codebook only), chosen
+        # by measurement (docs/benchmarks.md, TPU v5e): 'auto' (default) uses the
+        # fused kernel on the FORWARD-ONLY compress() path where it wins
+        # 1.15-2.0x, and keeps XLA in the training graph where the kernel's
+        # recompute-based VJP loses (0.62-1.02x). True/False force one path.
+        self.use_pallas_quantization = kwargs.pop('use_pallas_quantization', 'auto')
 
         self.construct_model(**kwargs)
         self._has_attributes(['_encoder', '_decoder'])
@@ -141,11 +143,22 @@ class DCN(TPUModel):
             return params['codebook'].reshape(-1)
         return jnp.asarray(quant.default_codebook(self._h.latent_bpf))
 
-    def _quantize_latent(self, params, z):
+    def _use_pallas(self, inference):
+        if self._h.rounding != 'soft-codebook':
+            return False
+        if self.use_pallas_quantization == 'auto':
+            try:
+                on_tpu = jax.devices()[0].platform == 'tpu'
+            except (IndexError, RuntimeError):
+                on_tpu = False
+            return inference and on_tpu
+        return bool(self.use_pallas_quantization)
+
+    def _quantize_latent(self, params, z, inference=False):
         """Scale → quantize → entropy (the reference's DiscreteLatent layer)."""
         if self._h.scale_latent:
             z = z * params['latent_scale']
-        if self.use_pallas_quantization and self._h.rounding == 'soft-codebook':
+        if self._use_pallas(inference):
             from neural_imaging_tpu.ops.pallas.codebook import quantize_with_entropy_pallas
             q, entropy, _ = quantize_with_entropy_pallas(
                 z, self._codebook(params), self.v, self.gamma,
@@ -157,9 +170,9 @@ class DCN(TPUModel):
 
     # -- pure compute graph ------------------------------------------------------------
 
-    def _apply_encoder(self, params, x):
+    def _apply_encoder(self, params, x, inference=False):
         z = self._encoder.apply({'params': params['encoder']}, x)
-        return self._quantize_latent(params, z)
+        return self._quantize_latent(params, z, inference=inference)
 
     def _apply_decoder(self, params, z):
         return self._decoder.apply({'params': params['decoder']}, z)
@@ -181,7 +194,8 @@ class DCN(TPUModel):
         if batch_x.ndim == 3:
             batch_x = batch_x[None]
         if '_jit_encode' not in self._jitted:
-            self._jitted['_jit_encode'] = jax.jit(lambda p, x: self._apply_encoder(p, x)[0])
+            self._jitted['_jit_encode'] = jax.jit(
+                lambda p, x: self._apply_encoder(p, x, inference=True)[0])
         return self._jitted['_jit_encode'](self.params, batch_x)
 
     def decompress(self, batch_z):

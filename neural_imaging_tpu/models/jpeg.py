@@ -46,17 +46,37 @@ def jpeg_qtable_traced(quality, channel=0):
     return jnp.clip(jnp.floor((t * scale + 50.0) / 100.0), 1.0, 255.0)
 
 
-@functools.partial(jax.jit, static_argnames=('rounding', 'taylor_terms'))
-def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5):
+def _pallas_jpeg_wins(shape):
+    """Measured crossover (docs/benchmarks.md, TPU v5e): the fused Pallas core
+    beats XLA's batched-matmul form from 256x256 up (1.6-2.0x forward, ~1.1x
+    grad) and loses below; CPU has no Mosaic compile path worth using."""
+    try:
+        on_tpu = jax.devices()[0].platform == 'tpu'
+    except (IndexError, RuntimeError):
+        on_tpu = False
+    return on_tpu and min(shape[1], shape[2]) >= 256
+
+
+@functools.partial(jax.jit, static_argnames=('rounding', 'taylor_terms', 'impl'))
+def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5, impl='auto'):
     """
     Differentiable JPEG round-trip.
 
     :param x: RGB batch (N, H, W, 3) in [0,1]; H, W divisible by 8
     :param q_luma/q_chroma: (8, 8) quantization tables (traced — any quality)
     :param rounding: 'soft' | 'sin' | 'harmonic'
+    :param impl: 'auto' (measured fastest path for the shape/backend) |
+                 'xla' | 'pallas'
     :return: (y, X) — compressed image in [0,1] and dequantized DCT coefficients
              (N, 3, H/8, W/8, 8, 8)
     """
+    if impl == 'auto':
+        impl = 'pallas' if (rounding == 'soft' and _pallas_jpeg_wins(x.shape)) else 'xla'
+    if impl == 'pallas':
+        from neural_imaging_tpu.ops.pallas.jpeg8x8 import jpeg_forward_pallas
+        y, X = jpeg_forward_pallas(x.astype(jnp.float32), q_luma, q_chroma)
+        return y.astype(x.dtype), X
+
     ycc = color.rgb_to_ycbcr(255.0 * x) - 127.0
 
     blocks = dct.blockify(ycc, 8)                      # (N, 3, hb, wb, 8, 8)

@@ -45,7 +45,12 @@ def small_conv2d(x, kernel, padding='SAME'):
     emulation passes, no lane padding. Only sensible when Cin·Cout is small
     (≲64 pairs); large convs should stay on the MXU via :func:`conv2d`.
     """
-    kernel = jnp.asarray(kernel, dtype=x.dtype)
+    # Accumulate in f32 regardless of input dtype: summing k²·Cin taps in bf16
+    # (e.g. when the workflow channel dtype is bfloat16) would lose the exact-f32
+    # guarantee this op exists for. The result is cast back to the input dtype.
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    kernel = jnp.asarray(kernel, dtype=jnp.float32)
     kh, kw, cin, cout = kernel.shape
     if padding == 'SAME':
         ph, pw = (kh - 1) // 2, (kw - 1) // 2
@@ -54,14 +59,14 @@ def small_conv2d(x, kernel, padding='SAME'):
         x = jnp.pad(x, ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)))
     h = x.shape[1] - kh + 1
     w = x.shape[2] - kw + 1
-    out = jnp.zeros(x.shape[:1] + (h, w, cout), dtype=x.dtype)
+    out = jnp.zeros(x.shape[:1] + (h, w, cout), dtype=jnp.float32)
     for dy in range(kh):
         for dx in range(kw):
             patch = jax.lax.slice(x, (0, dy, dx, 0),
                                   (x.shape[0], dy + h, dx + w, x.shape[3]))
             # (N,H,W,Cin,1) * (Cin,Cout) summed over Cin — pure VPU FMAs
             out = out + jnp.sum(patch[..., :, None] * kernel[dy, dx], axis=-2)
-    return out
+    return out.astype(in_dtype)
 
 
 def depth_to_space(x, block=2):

@@ -44,8 +44,16 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(batch, mesh, axis='data'):
-    """Place a host batch onto the mesh, split along the leading axis."""
-    return jax.device_put(batch, batch_sharding(mesh, axis))
+    """Place a host batch onto the mesh, split along the leading axis.
+
+    Single-process: ``batch`` is the global batch (device_put splits it).
+    Multi-process: ``batch`` is THIS process's slice of the global batch (see
+    multihost.local_batch_slice); the pieces are assembled into one global
+    jax.Array without any cross-host data movement."""
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
+    return jax.device_put(batch, sharding)
 
 
 def replicate(tree, mesh):

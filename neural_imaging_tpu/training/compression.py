@@ -87,16 +87,25 @@ def save_progress(dcn, data, training, out_dir):
 
 
 def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
-              overwrite=False, rng=None, scalar_log=True):
+              overwrite=False, rng=None, scalar_log=True, parallel=None):
     """Train a DCN; returns the model output directory.
 
     ``scalar_log`` appends per-epoch scalars to ``scalars.jsonl`` in the output
     directory — the TPU build's counterpart of the reference's optional
-    TensorBoard summaries (training/compression.py:247-274)."""
+    TensorBoard summaries (training/compression.py:247-274).
+
+    ``parallel``: optional parallel.train.DataParallel — replicates the codec
+    over the mesh and shards each training batch on the batch axis (SPMD with
+    XLA gradient all-reduces; the reference loop is single-device,
+    ref training/compression.py:123)."""
     spec = default_training_spec()
     spec.update(training or {})
     training = spec
     rng = rng or np.random.default_rng()
+    if parallel is not None:
+        parallel.check_batch(training['batch_size'])
+        parallel.distribute(dcn)
+        print(f'Training {parallel.describe()}')
 
     n_batches = data['training']['y'].shape[0] // training['batch_size']
     v_batches = data['validation']['y'].shape[0] // training['batch_size']
@@ -149,7 +158,10 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
                 if rng.uniform() < training['augmentation_probs']['gamma']:
                     batch_x = image_helpers.batch_gamma(batch_x, rng=rng)
 
-                values = dcn.training_step(np.ascontiguousarray(batch_x), learning_rate)
+                batch_x = np.ascontiguousarray(batch_x)
+                if parallel is not None:
+                    (batch_x,) = parallel.shard(batch_x)
+                values = dcn.training_step(batch_x, learning_rate)
                 for key, value in values.items():
                     caches[key]['training'].append(float(np.asarray(value)))
 

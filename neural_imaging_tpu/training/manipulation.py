@@ -33,7 +33,8 @@ def default_training_specs():
     }
 
 
-def train_manipulation_nip(flow, training, data, directories=None, overwrite=False):
+def train_manipulation_nip(flow, training, data, directories=None, overwrite=False,
+                           parallel=None, nan_check=False):
     """
     Train the manipulation-classification workflow. Minimal inner loop:
 
@@ -42,6 +43,17 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
             loss, losses = flow.training_step(batch_x, batch_y, l_nip, l_dcn, ...)
 
     Returns the model snapshot directory.
+
+    ``parallel``: optional parallel.train.DataParallel — replicates the joint
+    parameter partitions over the mesh and lands each batch pre-sharded, so the
+    single jitted workflow step runs SPMD (the reference loop is single-device,
+    ref training/manipulation.py:36).
+
+    ``nan_check=False`` (default) defers the NaN-gradient guard to every
+    validation boundary via ``flow.assert_finite()`` — the per-step host sync
+    the guard otherwise forces is the single biggest throughput killer
+    (docs/benchmarks.md). Pass True to fail on the exact offending step
+    (reference semantics, ref workflows/manipulation_classification.py:281).
     """
     dirs = {'root': './data/m/', 'nip_snapshots': './data/models/nip/'}
     if directories is not None:
@@ -114,6 +126,13 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
         flow.nip.load_model(nip_dirname)
         flow.params['nip'] = flow.nip.params
 
+    flow.nan_check = nan_check
+    if parallel is not None:
+        # after the pre-trained NIP load so restored weights get replicated too
+        parallel.check_batch(training['batch_size'])
+        parallel.distribute(flow)
+        logger.info('Training %s', parallel.describe())
+
     model_list = ['nip', 'fan']
     loss_epoch = {key: deque(maxlen=n_batches) for key in model_list}
     loss_last_k = {key: deque(maxlen=10) for key in model_list}
@@ -149,7 +168,9 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
     with tqdm(total=training['n_epochs'], ncols=120, desc='Train') as pbar:
         from neural_imaging_tpu.data.prefetch import EpochPrefetcher
         prefetcher = EpochPrefetcher(data, training['batch_size'],
-                                     2 * training['patch_size'], discard='flat')
+                                     2 * training['patch_size'], discard='flat',
+                                     sharding=(parallel.batch_sharding
+                                               if parallel is not None else None))
         for epoch in range(training['n_epochs']):
             for batch in prefetcher:
                 if data._loaded_data == 'xy':
@@ -170,6 +191,9 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
                 loss_last_k[model_name].append(model.pop_metric('loss', 'training'))
 
             if epoch % training['validation_schedule'] == 0:
+                # deferred NaN-gradient guard: one device->host transfer for the
+                # whole window instead of a host sync per step
+                flow.assert_finite()
                 accuracy, conf = validation.validate_fan(flow, data)
                 flow.fan.log_metric('accuracy', 'validation', accuracy)
                 flow.fan.performance['confusion'] = conf.tolist()
@@ -226,6 +250,7 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
             pbar.update(1)
 
     # final validation
+    flow.assert_finite()
     accuracy, conf = validation.validate_fan(flow, data)
     flow.fan.performance['accuracy']['validation'].append(accuracy)
     flow.fan.performance['confusion'] = conf.tolist()

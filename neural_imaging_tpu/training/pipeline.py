@@ -64,9 +64,14 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
                     validation_loss_threshold=1e-3, validation_schedule=100,
                     resume=False, patch_size=64, batch_size=20, data=None,
                     out_directory_root='./data/models/nip', save_best=False,
-                    discard='flat'):
+                    discard='flat', parallel=None):
+    """``parallel``: optional parallel.train.DataParallel — replicates the model
+    over the mesh and lands every training batch pre-sharded on the batch axis,
+    so the same jitted step runs SPMD with gradient all-reduces over ICI."""
     if data is None:
         raise ValueError('Training data seems not to be loaded!')
+    if parallel is not None:
+        parallel.check_batch(batch_size)
 
     # sanity-check the dataset interface before entering the loop
     try:
@@ -103,6 +108,11 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
         model.performance = summary_data['performance']
         start_epoch = summary_data['summary']['Epoch']
 
+    if parallel is not None:
+        # after a potential resume load so restored weights get replicated too
+        parallel.distribute(model)
+        print(f'Training {parallel.describe()}')
+
     if lr_schedule is None:
         lr_schedule = {0: 1e-4}
     elif isinstance(lr_schedule, float):
@@ -130,7 +140,9 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
         print(f'{k:30s}: {v}')
     print('', flush=True)
 
-    learning_rate = 1e-4
+    # on resume, start from the schedule entry in effect at start_epoch
+    past = [k for k in lr_schedule if k <= start_epoch]
+    learning_rate = lr_schedule[max(past)] if past else 1e-4
     progress_dict = {}
     epoch = start_epoch
 
@@ -144,7 +156,9 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
 
             loss_local = []
             from neural_imaging_tpu.data.prefetch import EpochPrefetcher
-            for bx, by in EpochPrefetcher(data, batch_size, 2 * patch_size, discard):
+            sharding = parallel.batch_sharding if parallel is not None else None
+            for bx, by in EpochPrefetcher(data, batch_size, 2 * patch_size, discard,
+                                          sharding=sharding):
                 loss = model.training_step(bx, by, learning_rate)
                 loss_local.append(loss)
             model.log_metric('loss', 'training', np.asarray(loss_local, dtype=np.float64))

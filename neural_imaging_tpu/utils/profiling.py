@@ -99,6 +99,65 @@ class ScalarLog:
             return [json.loads(line) for line in f if line.strip()]
 
 
+# Peak dense-matmul throughput and HBM bandwidth per chip, keyed by substrings
+# of jax `device_kind`. bf16 peaks (the MXU's native precision; f32 is emulated).
+# Sources: public TPU spec sheets (v4: 275 TF, v5e: 197 TF / 819 GB/s,
+# v5p: 459 TF, v6e: 918 TF).
+_CHIP_PEAKS = {
+    'v2': (46e12, 700e9),
+    'v3': (123e12, 900e9),
+    'v4': (275e12, 1228e9),
+    'v5 lite': (197e12, 819e9),
+    'v5e': (197e12, 819e9),
+    'v5p': (459e12, 2765e9),
+    'v5': (459e12, 2765e9),      # plain 'v5' after the lite variants
+    'v6 lite': (918e12, 1640e9),
+    'v6e': (918e12, 1640e9),
+}
+
+
+def chip_peaks(device=None):
+    """(peak_bf16_flops_per_s, peak_hbm_bytes_per_s) for a device, or (None, None)
+    when the chip is not in the table (e.g. CPU)."""
+    import jax
+    device = device or jax.devices()[0]
+    kind = (device.device_kind or '').lower()
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in kind:
+            return peaks
+    return None, None
+
+
+def step_cost(jitted_or_fn, *args):
+    """FLOPs + bytes accessed of one compiled step (XLA cost analysis). Works on
+    an already-jitted function (reuses the compilation cache) or a plain fn."""
+    import jax
+    fn = jitted_or_fn
+    if not hasattr(fn, 'lower'):
+        fn = jax.jit(fn)
+    compiled = fn.lower(*args).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    cost = cost or {}
+    return {'flops': cost.get('flops'), 'bytes_accessed': cost.get('bytes accessed')}
+
+
+def utilization(flops_per_step, bytes_per_step, seconds_per_step, device=None):
+    """Achieved MFU and HBM-bandwidth fraction vs the chip's peaks.
+
+    Returns {} on chips without a peak entry. MFU uses the bf16 peak — the
+    honest denominator on TPU, where every matmul the MXU runs is (multi-pass)
+    bf16 regardless of the logical precision."""
+    peak_flops, peak_bw = chip_peaks(device)
+    out = {}
+    if peak_flops and flops_per_step and seconds_per_step:
+        out['mfu'] = flops_per_step / seconds_per_step / peak_flops
+    if peak_bw and bytes_per_step and seconds_per_step:
+        out['hbm_util'] = bytes_per_step / seconds_per_step / peak_bw
+    return out
+
+
 def compiled_stats(fn, *args, **kwargs):
     """Compile a jittable fn and return XLA cost analysis (FLOPs, bytes accessed)
     plus compile memory stats when the backend reports them."""

@@ -245,6 +245,10 @@ class ManipulationClassification:
         compression = self._distribution['compression']
         if compression == 'jpeg':
             batch32 = batch.astype(jnp.float32)  # dJPEG numerics stay f32 (parity)
+            # Trainable JPEG qtables ALSO live under the 'dcn' partition key:
+            # 'dcn' names the generic trainable-codec slot (matching the
+            # reference CLI's `--train dcn` convention), not the DCN model —
+            # see _collect_params, which routes either codec's params here.
             if 'dcn' in params:  # trainable qtables
                 y, _ = self.codec._model(batch32, params=params['dcn'])
             else:

@@ -108,7 +108,10 @@ def main():
     from train_nip import parse_split
 
     n_images, v_images, val_n_patches = parse_split(args.split)
-    data = None  # lazily loaded once the first run tells us x/y vs y-only
+    # A scan directory can mix ONet (RGB-only, load='y') and raw-input NIP runs
+    # (load='xy'); the right load mode is detected PER RUN and datasets are
+    # cached per mode, so mixed scans validate every run with the right batches.
+    datasets = {}
 
     for filename in json_files:
         if args.regex is not None and not re.findall(args.regex, filename):
@@ -118,11 +121,22 @@ def main():
         flow, expected = restore_flow(filename, args)
         print(flow.summary())
 
+        load = 'y' if flow.nip.class_name == 'ONet' else 'xy'
+        if load not in datasets:
+            try:
+                datasets[load] = Dataset(args.data, load=load, n_images=n_images,
+                                         v_images=v_images,
+                                         val_rgb_patch_size=2 * args.patch,
+                                         val_n_patches=val_n_patches)
+                print(f'Data ({load}): {datasets[load].summary()}')
+            except Exception as e:
+                print(f"Skipping {filename}: cannot load the dataset in "
+                      f"'{load}' mode ({e})")
+                datasets[load] = None
+        data = datasets[load]
         if data is None:
-            load = 'y' if flow.nip.class_name == 'ONet' else 'xy'
-            data = Dataset(args.data, load=load, n_images=n_images, v_images=v_images,
-                           val_rgb_patch_size=2 * args.patch, val_n_patches=val_n_patches)
-            print(f'Data: {data.summary()}')
+            print(f"Skipping {filename}: no dataset available in '{load}' mode")
+            continue
 
         accuracy, conf = validation.validate_fan(flow, data)
         print(f'\nAccuracy validated/expected: {accuracy:.4f} / {expected:.4f}\n')

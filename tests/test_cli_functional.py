@@ -84,6 +84,25 @@ class TestDevelopImages:
         produced = [f for f in os.listdir(out) if f.endswith('.png')]
         assert len(produced) == 2
 
+    def test_nip_pipeline_spatially_sharded(self, dng_dir, tmp_path):
+        """--devices splits the image height over the mesh; the developed output
+        must match the single-device development byte-for-byte."""
+        import imageio.v2 as imageio
+        ref_out = tmp_path / 'ref'
+        run_cli(['develop_images.py', '--dir', dng_dir, '--out', str(ref_out),
+                 '--pipeline', 'INet',
+                 '--model-dir', 'data/models/nip/SyntheticCam/INet_gbrg_5x5/inet'])
+        out = tmp_path / 'sharded'
+        run_cli(['develop_images.py', '--dir', dng_dir, '--out', str(out),
+                 '--pipeline', 'INet', '--devices', '8',
+                 '--model-dir', 'data/models/nip/SyntheticCam/INet_gbrg_5x5/inet'])
+        produced = sorted(f for f in os.listdir(out) if f.endswith('.png'))
+        assert len(produced) == 2
+        for name in produced:
+            a = imageio.imread(out / name).astype(np.int16)
+            b = imageio.imread(ref_out / name).astype(np.int16)
+            assert np.abs(a - b).max() <= 1  # one uint8 step of f32 reassociation
+
 
 class TestNIPTools:
     def test_test_nip_metrics_and_figure(self, dataset_dir, tmp_path):

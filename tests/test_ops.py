@@ -314,6 +314,34 @@ class TestSmallConv2D:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_explicit_padding_pairs(self):
+        """The explicit ((top,bottom),(left,right)) padding branch must match
+        conv2d with the same explicit padding."""
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(2, 9, 11, 3)).astype(np.float32)
+        k = rng.normal(size=(3, 3, 3, 2)).astype(np.float32)
+        padding = ((1, 2), (0, 1))
+        got = np.asarray(ops.small_conv2d(x, k, padding=padding))
+        want = np.asarray(ops.conv2d(x, k, padding=padding,
+                                     precision=jax.lax.Precision.HIGHEST))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_bfloat16_input_accumulates_in_f32(self):
+        """bf16 inputs (the workflow's channel dtype) must still accumulate the
+        k²·Cin taps in f32 — the bf16 result must match the f32 computation
+        rounded once at the end, not a bf16 running sum."""
+        rng = np.random.default_rng(12)
+        x32 = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+        k = rng.normal(size=(5, 5, 3, 3)).astype(np.float32)
+        got = np.asarray(ops.small_conv2d(jnp.asarray(x32, jnp.bfloat16), k),
+                         dtype=np.float32)
+        want = np.asarray(
+            ops.small_conv2d(jnp.asarray(x32, jnp.bfloat16).astype(jnp.float32), k))
+        # one terminal rounding to bf16 (relative error <= 2^-8)
+        np.testing.assert_allclose(got, want, rtol=2 ** -7, atol=2 ** -7)
+        assert ops.small_conv2d(jnp.asarray(x32, jnp.bfloat16), k).dtype == jnp.bfloat16
+
     def test_gradients_match_lax_conv(self):
         rng = np.random.default_rng(8)
         x = rng.normal(size=(1, 12, 12, 3)).astype(np.float32)

@@ -98,6 +98,135 @@ class TestGraftEntry:
         ge.dryrun_multichip(4)
 
 
+def _tiny_dataset(tmp_path, n_images=10, load='xy', val_patch=16, seed=5):
+    from neural_imaging_tpu.data import fixtures
+    from neural_imaging_tpu.data.dataset import Dataset
+    d = str(tmp_path / f'cam-{load}-{n_images}')
+    import os
+    if not os.path.isdir(d):
+        fixtures.make_dataset(d, n_images=n_images + 8, height=64, width=64,
+                              seed=seed, rgb_only=(load == 'y'))
+    return Dataset(d, load=load, n_images=n_images, v_images=8,
+                   val_rgb_patch_size=val_patch, val_n_patches=1)
+
+
+class TestTrainerParallelParity:
+    """The production training loops (not just the raw jitted steps) must run on
+    the mesh and match the single-device loss trajectory — the user-reachable
+    SPMD path (SURVEY.md §2.9)."""
+
+    def test_train_nip_parallel_parity(self, tmp_path, mesh8):
+        from neural_imaging_tpu.models import pipelines
+        from neural_imaging_tpu.parallel.train import DataParallel
+        from neural_imaging_tpu.training.pipeline import train_nip_model
+
+        losses = {}
+        for name, parallel in (('single', None), ('mesh', DataParallel(mesh8))):
+            data = _tiny_dataset(tmp_path, load='xy')
+            model = pipelines.INet(patch_size=8)
+            train_nip_model(model, 'cam', n_epochs=3, validation_schedule=2,
+                            patch_size=8, batch_size=8, data=data,
+                            out_directory_root=str(tmp_path / f'out-{name}'),
+                            parallel=parallel)
+            losses[name] = model.performance['loss']['training']
+
+        np.testing.assert_allclose(losses['mesh'], losses['single'], rtol=1e-3)
+
+    def test_train_dcn_parallel_parity(self, tmp_path, mesh8):
+        from neural_imaging_tpu.models.compression import TwitterDCN
+        from neural_imaging_tpu.parallel.train import DataParallel
+        from neural_imaging_tpu.training.compression import train_dcn
+
+        losses = {}
+        for name, parallel in (('single', None), ('mesh', DataParallel(mesh8))):
+            data = _tiny_dataset(tmp_path, load='y', val_patch=32)
+            dcn = TwitterDCN(patch_size=32, n_features=4)
+            train_dcn(dcn, {'n_epochs': 2, 'batch_size': 8, 'patch_size': 32,
+                            'validation_schedule': 1},
+                      data, directory=str(tmp_path / f'dcn-{name}'),
+                      rng=np.random.default_rng(7), scalar_log=False,
+                      parallel=parallel)
+            losses[name] = dcn.performance['loss']['training']
+
+        np.testing.assert_allclose(losses['mesh'], losses['single'], rtol=1e-3)
+
+    def test_train_manipulation_parallel_parity(self, tmp_path, mesh8):
+        from neural_imaging_tpu.parallel.train import DataParallel
+        from neural_imaging_tpu.training.manipulation import train_manipulation_nip
+        from neural_imaging_tpu.workflows import ManipulationClassification
+
+        losses = {}
+        for name, parallel in (('single', None), ('mesh', DataParallel(mesh8))):
+            data = _tiny_dataset(tmp_path, load='xy')
+            flow = ManipulationClassification(
+                'INet', manipulations=['sharpen:1'],
+                distribution={'downsampling': 'pool:2', 'compression': 'jpeg',
+                              'compression_params': {'quality': 50, 'codec': 'soft'}},
+                fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0},
+                trainable={'nip'}, raw_patch_size=16)
+            train_manipulation_nip(
+                flow,
+                {'camera_name': 'cam', 'use_pretrained_nip': False, 'patch_size': 16,
+                 'batch_size': 8, 'n_epochs': 2, 'validation_schedule': 1,
+                 'learning_rate': 1e-4, 'lambda_nip': 0.1, 'lambda_dcn': 0,
+                 'run_number': 0, 'augment': False},
+                data, directories={'root': str(tmp_path / f'm-{name}'),
+                                   'nip_snapshots': str(tmp_path / 'nip')},
+                parallel=parallel)
+            losses[name] = flow.fan.performance['loss']['training']
+
+        np.testing.assert_allclose(losses['mesh'], losses['single'], rtol=1e-3)
+
+    def test_batch_divisibility_guard(self, mesh8):
+        from neural_imaging_tpu.parallel.train import DataParallel
+        dp = DataParallel(mesh8)
+        with pytest.raises(ValueError):
+            dp.check_batch(10)
+
+    def test_from_spec_shrinks_to_divisor(self):
+        from neural_imaging_tpu.parallel.train import DataParallel
+        dp = DataParallel.from_spec(8, batch_size=12)
+        assert dp.n_devices == 6  # largest divisor of 12 that is <= 8
+        assert DataParallel.from_spec('none') is None
+        assert DataParallel.from_spec(None) is None
+        assert DataParallel.from_spec(8, batch_size=1) is None  # single device
+
+
+class TestParallelCLI:
+    def test_train_nip_cli_devices_flag(self, tmp_path):
+        """The user-facing --devices path: full CLI run on the 8-device virtual
+        mesh, artifacts + JSON contract written."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        from neural_imaging_tpu.data import fixtures
+        cam_dir = str(tmp_path / 'SynthCam')
+        fixtures.make_dataset(cam_dir, n_images=16, height=64, width=64, seed=5)
+
+        env = dict(os.environ)
+        env['NI_TPU_PLATFORM'] = 'cpu'
+        flags = env.get('XLA_FLAGS', '')
+        if 'xla_force_host_platform_device_count' not in flags:
+            env['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, 'train_nip.py'),
+             '--data', cam_dir, '--cam', 'SynthCam', '--nip', 'INet',
+             '--split', '8:8:1', '--epochs', '3', '--val-schedule', '2',
+             '--patch', '8', '--batch', '8', '--devices', '8',
+             '--out', str(tmp_path / 'models')],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo, timeout=600)
+        assert out.returncode == 0, out.stdout[-3000:]
+        assert 'data-parallel over 8 devices' in out.stdout
+        progress = list((tmp_path / 'models').glob('**/progress.json'))
+        assert progress, 'no progress.json written by the parallel CLI run'
+        log = json.load(open(progress[0]))
+        assert np.isfinite(log['performance']['loss']['training'][-1])
+
+
 class TestSpatialSharding:
     def test_full_image_isp_spatially_sharded(self, rng):
         """Full-resolution ISP inference with the image height sharded over a 2-D

@@ -281,3 +281,77 @@ class TestEndToEndQualityParity:
             deltas.append(abs(psnr(rgb_batch, y_ref) -
                               psnr(rgb_batch, np.asarray(y_jax))))
         assert max(deltas) <= 0.1, f'max PSNR delta {max(deltas):.4f} dB'
+
+
+class TestJointGradients:
+    """Finite-difference verification of the ANALYTIC gradients of the full
+    joint loss (round-2 VERDICT weak #7: the f64 forward oracles cannot see
+    backward-pass bugs).
+
+    Scope: the smooth ('sin') rounding modes, whose analytic gradient IS the
+    true derivative — so central differences must match. The straight-through
+    modes ('soft', 'soft-codebook') are *defined* to backpropagate a different
+    function than they forward (hard round fwd / sin bwd), so FD cannot agree
+    there by construction; their backward uses exactly the same code path as
+    'sin' (ops/quantization.py::quantize), which these checks pin down.
+    """
+
+    def _flow(self, trainable, quality_params):
+        from neural_imaging_tpu.workflows import ManipulationClassification
+        return ManipulationClassification(
+            'INet', manipulations=['sharpen:0.5', 'gaussian:0.8'],
+            distribution={'downsampling': 'pool:2', 'compression': 'jpeg',
+                          'compression_params': quality_params},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0},
+            trainable=set(trainable), raw_patch_size=16)
+
+    def _check(self, flow, trainable_keys, l_nip=0.1, l_dcn=0.1):
+        import jax
+        from jax.test_util import check_grads
+
+        rng = np.random.default_rng(17)
+        # keep values mid-range so the clip straight-throughs stay inactive
+        # (where clipping engages, forward slope 0 vs STE slope 1 by design)
+        bx = (0.3 + 0.3 * rng.random((2, 16, 16, 4))).astype(np.float32)
+        by = (0.3 + 0.3 * rng.random((2, 32, 32, 3))).astype(np.float32)
+        key = jax.random.PRNGKey(3)
+        ql, qc = (jnp.asarray(jpeg_qtable(50, 0)), jnp.asarray(jpeg_qtable(50, 1)))
+
+        frozen = {k: v for k, v in flow.params.items() if k not in trainable_keys}
+        tparams = {k: v for k, v in flow.params.items() if k in trainable_keys}
+
+        def loss_fn(tp):
+            loss, _ = flow._losses({**frozen, **tp}, jnp.asarray(bx),
+                                   jnp.asarray(by), key, ql, qc,
+                                   jnp.float32(l_nip), jnp.float32(l_dcn))
+            return loss
+
+        check_grads(loss_fn, (tparams,), order=1, modes=['rev'],
+                    atol=5e-2, rtol=5e-2)
+
+    def test_fd_joint_loss_wrt_nip_and_fan(self):
+        flow = self._flow({'nip'}, {'quality': 50, 'codec': 'sin'})
+        self._check(flow, ('nip', 'fan'))
+
+    def test_fd_joint_loss_wrt_trainable_qtables(self):
+        flow = self._flow({'dcn'}, {'quality': 50, 'codec': 'sin',
+                                    'trainable': True})
+        self._check(flow, ('dcn',))
+
+    def test_fd_dcn_loss_wrt_all_params(self):
+        """TwitterDCN's full rate-distortion loss (L2 + entropy estimator) wrt
+        encoder/decoder/latent-scale params, smooth rounding."""
+        import jax
+        from jax.test_util import check_grads
+        from neural_imaging_tpu.models.compression import TwitterDCN
+
+        dcn = TwitterDCN(patch_size=16, n_features=4, rounding='sin')
+        rng = np.random.default_rng(23)
+        x = jnp.asarray(0.2 + 0.6 * rng.random((2, 16, 16, 3)), jnp.float32)
+
+        def loss_fn(params):
+            y, entropy = dcn._apply(params, x)
+            return dcn.loss(x, y, entropy)
+
+        check_grads(loss_fn, (dcn.params,), order=1, modes=['rev'],
+                    atol=5e-2, rtol=5e-2)

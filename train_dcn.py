@@ -33,9 +33,12 @@ def main():
     parser.add_argument('--val-schedule', type=int, default=50)
     parser.add_argument('--overwrite', action='store_true')
     parser.add_argument('--dry', action='store_true')
+    from neural_imaging_tpu.parallel.train import add_cli_args, from_cli_args
+    add_cli_args(parser)
     args = parser.parse_args()
 
     setup_logging()
+    parallel = from_cli_args(args, batch_size=args.batch)
 
     from neural_imaging_tpu.data.dataset import Dataset
     from neural_imaging_tpu.models.compression import TwitterDCN
@@ -62,7 +65,8 @@ def main():
                   {'n_epochs': args.epochs, 'batch_size': args.batch,
                    'patch_size': args.patch, 'learning_rate': args.lr,
                    'validation_schedule': args.val_schedule},
-                  data, directory=args.out, overwrite=args.overwrite)
+                  data, directory=args.out, overwrite=args.overwrite,
+                  parallel=parallel)
 
 
 if __name__ == '__main__':

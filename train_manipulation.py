@@ -67,9 +67,16 @@ def main():
                              "\"{'conv_precision': 'high'}\"")
     parser.add_argument('--val-schedule', type=int, default=50)
     parser.add_argument('--overwrite', action='store_true')
+    parser.add_argument('--nan-check', action='store_true',
+                        help='check gradients for NaNs on every step (debug; '
+                             'forces a per-step host sync — the default defers '
+                             'the check to validation boundaries)')
+    from neural_imaging_tpu.parallel.train import add_cli_args, from_cli_args
+    add_cli_args(parser)
     args = parser.parse_args()
 
     setup_logging()
+    parallel = from_cli_args(args, batch_size=args.batch)
 
     from neural_imaging_tpu.data.dataset import Dataset
     from neural_imaging_tpu.training.manipulation import train_manipulation_nip
@@ -128,7 +135,8 @@ def main():
         train_manipulation_nip(flow, training, data,
                                directories={'root': args.dir,
                                             'nip_snapshots': args.nip_dir},
-                               overwrite=args.overwrite)
+                               overwrite=args.overwrite, parallel=parallel,
+                               nan_check=args.nan_check)
 
 
 if __name__ == '__main__':

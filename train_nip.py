@@ -78,12 +78,18 @@ def main():
     parser.add_argument('--group', type=int, default=None,
                         help='run_group to sub-select scenarios from the CSV')
     parser.add_argument('--val-schedule', type=int, default=100)
+    parser.add_argument('--lr-schedule', default=None,
+                        help="JSON {epoch: lr} decay schedule, e.g. "
+                             "\"{'0': 1e-4, '4000': 5e-5}\" (overrides --lr)")
     parser.add_argument('--cameras-config', default='config/cameras.json')
     parser.add_argument('-f', '--fill', default=None,
                         help="summarize trained models: '-' to print, or a CSV path")
+    from neural_imaging_tpu.parallel.train import add_cli_args, from_cli_args
+    add_cli_args(parser)
     args = parser.parse_args()
 
     setup_logging()
+    parallel = from_cli_args(args, batch_size=args.batch)
 
     from neural_imaging_tpu.data.dataset import Dataset
     from neural_imaging_tpu.models import pipelines
@@ -126,11 +132,13 @@ def main():
                 import numpy as np
                 model.set_srgb_conversion(np.array(cameras[args.cam]['srgb']))
 
+        lr_schedule = ({int(k): float(v) for k, v in parse_json_arg(args.lr_schedule).items()}
+                       if args.lr_schedule else {0: args.lr})
         train_nip_model(model, args.cam, n_epochs=args.epochs,
-                        lr_schedule={0: args.lr}, validation_schedule=args.val_schedule,
+                        lr_schedule=lr_schedule, validation_schedule=args.val_schedule,
                         resume=args.resume, patch_size=args.patch,
                         batch_size=args.batch, data=data,
-                        out_directory_root=args.out)
+                        out_directory_root=args.out, parallel=parallel)
 
 
 if __name__ == '__main__':
