@@ -69,17 +69,23 @@ class Dataset:
     # -- batch sampling -------------------------------------------------------------
 
     def next_training_batch(self, batch_id, batch_size, rgb_patch_size, discard='flat',
-                            max_attempts=25):
-        """Sample a batch of aligned training patches (float32 in [0,1])."""
+                            max_attempts=25, quantized=False):
+        """Sample a batch of aligned training patches (float32 in [0,1]).
+
+        ``quantized=True`` returns the stored uint16 RAW / uint8 RGB values
+        unnormalized — 4x less host→device traffic; consumers normalize
+        in-graph via ops.normalize_batch (bit-identical f32 divide)."""
         if discard is not None and 'y' not in self.data['training']:
             raise ValueError('Cannot discard patches if RGB data is not loaded.')
         if (batch_id + 1) * batch_size > len(self.files['training']):
             raise ValueError('Not enough images for the requested batch_id & batch_size')
 
         raw_patch_size = rgb_patch_size // 2
-        batch_x = (np.zeros((batch_size, raw_patch_size, raw_patch_size, 4), dtype=np.float32)
+        x_dtype = np.uint16 if quantized else np.float32
+        y_dtype = np.uint8 if quantized else np.float32
+        batch_x = (np.zeros((batch_size, raw_patch_size, raw_patch_size, 4), dtype=x_dtype)
                    if 'x' in self._loaded_data else None)
-        batch_y = (np.zeros((batch_size, rgb_patch_size, rgb_patch_size, 3), dtype=np.float32)
+        batch_y = (np.zeros((batch_size, rgb_patch_size, rgb_patch_size, 3), dtype=y_dtype)
                    if 'y' in self._loaded_data else None)
 
         for b in range(batch_size):
@@ -93,9 +99,11 @@ class Dataset:
             rx, ry = xx // 2, yy // 2
             if batch_x is not None:
                 raw = self.data['training']['x'][bid]
-                batch_x[b] = raw[ry:ry + raw_patch_size, rx:rx + raw_patch_size] / np.float32(2 ** 16 - 1)
+                patch = raw[ry:ry + raw_patch_size, rx:rx + raw_patch_size]
+                batch_x[b] = patch if quantized else patch / np.float32(2 ** 16 - 1)
             if batch_y is not None:
-                batch_y[b] = current_rgb[yy:yy + rgb_patch_size, xx:xx + rgb_patch_size] / np.float32(2 ** 8 - 1)
+                patch = current_rgb[yy:yy + rgb_patch_size, xx:xx + rgb_patch_size]
+                batch_y[b] = patch if quantized else patch / np.float32(2 ** 8 - 1)
 
         if self._loaded_data == 'xy':
             return batch_x, batch_y
@@ -180,9 +188,11 @@ class Dataset:
 
     # -- generators -----------------------------------------------------------------
 
-    def get_training_generator(self, batch_size, rgb_patch_size, discard='flat'):
+    def get_training_generator(self, batch_size, rgb_patch_size, discard='flat',
+                               quantized=False):
         for batch_id in range(self.count_training // batch_size):
-            yield self.next_training_batch(batch_id, batch_size, rgb_patch_size, discard)
+            yield self.next_training_batch(batch_id, batch_size, rgb_patch_size,
+                                           discard, quantized=quantized)
 
     def get_validation_generator(self, batch_size):
         for batch_id in range(self.count_validation // batch_size):

@@ -1,0 +1,115 @@
+"""
+Device-resident training data with in-graph patch sampling.
+
+The host-feed path (Dataset.next_training_batch → prefetch → device_put) pays a
+host→device transfer per step; over a tunneled chip that link is the throughput
+cap even with quantized batches (docs/benchmarks.md "async epoch loop"). The
+reference-scale datasets are tiny by accelerator standards (60 full-res
+training images ≈ 20 MB quantized; even 120 D90 captures ≈ 10 GB fit a v5e's
+HBM), so the TPU-native answer is to upload the WHOLE training set once and
+sample patches on device:
+
+- full images live in HBM quantized (uint16 RAW stacks + uint8 RGB);
+- one jitted function per step draws image indices + Bayer-aligned even
+  coordinates from a folded PRNG key and gathers the patches
+  (vmap of lax.dynamic_slice);
+- the ``flat`` discard policy becomes candidate oversampling: draw
+  ``oversample``×batch patches, rank qualifiers (variance ≥ 0.01, the
+  reference's threshold — loading.py::sample_patch) by a uniform random
+  tiebreak and non-qualifiers by variance, keep the top batch. Uniform among
+  qualifying patches, best-effort otherwise — the same intent as the
+  reference's soft-reject + panic counter, without data-dependent control flow.
+
+Zero host→device traffic and zero host sampling in the hot loop; the sampler's
+output dtypes (uint16/uint8) match the quantized host path, so the SAME
+compiled train step consumes either source.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLAT_VARIANCE_THRESHOLD = 0.01  # ref loading.py::sample_patch 'flat' policy
+
+
+class DeviceSampler:
+    """Uploads a Dataset's training images once; callable(step) → batch."""
+
+    def __init__(self, data, batch_size, rgb_patch_size, discard='flat',
+                 oversample=2, seed=0):
+        self.batch_size = batch_size
+        self.rgb_patch_size = rgb_patch_size
+        self.raw_patch_size = rgb_patch_size // 2
+        self.discard = discard if 'y' in data._loaded_data else None
+        self.oversample = max(1, int(oversample)) if self.discard else 1
+        self._loaded = data._loaded_data
+
+        train = data.data['training']
+        self._X = (jax.device_put(np.ascontiguousarray(train['x']))
+                   if 'x' in self._loaded else None)
+        self._Y = (jax.device_put(np.ascontiguousarray(train['y']))
+                   if 'y' in self._loaded else None)
+        ref = train['y'] if 'y' in self._loaded else train['x']
+        self.n_images = ref.shape[0]
+        if 'y' in self._loaded:
+            self.H, self.W = train['y'].shape[1:3]
+        else:
+            self.H, self.W = (2 * d for d in train['x'].shape[1:3])
+        if self.H < rgb_patch_size or self.W < rgb_patch_size:
+            raise ValueError(f'Images ({self.H}x{self.W}) smaller than the '
+                             f'requested patch ({rgb_patch_size})')
+        self._key = jax.random.PRNGKey(seed)
+        self._sample = jax.jit(self._build())
+
+    def _build(self):
+        B, M = self.batch_size, self.batch_size * self.oversample
+        P, R = self.rgb_patch_size, self.raw_patch_size
+        H, W, N = self.H, self.W, self.n_images
+        X, Y = self._X, self._Y
+        discard = self.discard
+
+        def slice_rgb(idx, y0, x0):
+            return jax.lax.dynamic_slice(Y, (idx, y0, x0, 0), (1, P, P, 3))[0]
+
+        def slice_raw(idx, ry, rx):
+            return jax.lax.dynamic_slice(X, (idx, ry, rx, 0), (1, R, R, 4))[0]
+
+        def sample(key):
+            k_i, k_y, k_x, k_u = jax.random.split(key, 4)
+            idx = jax.random.randint(k_i, (M,), 0, N)
+            # even coordinates keep the half-res RAW patch Bayer-aligned
+            yy = 2 * jax.random.randint(k_y, (M,), 0, (H - P) // 2 + 1)
+            xx = 2 * jax.random.randint(k_x, (M,), 0, (W - P) // 2 + 1)
+
+            if discard and M > B:
+                rgb = jax.vmap(slice_rgb)(idx, yy, xx)
+                var = jnp.var(rgb.astype(jnp.float32) / 255.0, axis=(1, 2, 3))
+                u = jax.random.uniform(k_u, (M,))
+                score = jnp.where(var >= FLAT_VARIANCE_THRESHOLD, 1.0 + u, var)
+                _, keep = jax.lax.top_k(score, B)
+                idx, yy, xx = idx[keep], yy[keep], xx[keep]
+                rgb = rgb[keep]
+            elif Y is not None:
+                rgb = jax.vmap(slice_rgb)(idx[:B], yy[:B], xx[:B])
+                idx, yy, xx = idx[:B], yy[:B], xx[:B]
+            else:
+                idx, yy, xx = idx[:B], yy[:B], xx[:B]
+                rgb = None
+
+            raw = (jax.vmap(slice_raw)(idx, yy // 2, xx // 2)
+                   if X is not None else None)
+            return raw, rgb
+
+        return sample
+
+    def __call__(self, step):
+        """Batch for a training step: ('xy' → (raw, rgb); 'x' → raw; 'y' → rgb),
+        uint16/uint8 device arrays. Deterministic in (seed, step)."""
+        raw, rgb = self._sample(jax.random.fold_in(self._key, step))
+        if self._loaded == 'xy':
+            return raw, rgb
+        return rgb if self._loaded == 'y' else raw
+
+    def epoch_steps(self):
+        """Steps per 'epoch' — matches the host path's batches-per-epoch so
+        schedules/logs stay comparable."""
+        return max(1, self.n_images // self.batch_size)

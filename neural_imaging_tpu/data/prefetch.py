@@ -57,15 +57,18 @@ class EpochPrefetcher:
     """Reusable per-epoch prefetcher over a Dataset's training batches."""
 
     def __init__(self, data, batch_size, rgb_patch_size, discard='flat', size=2,
-                 sharding=None):
+                 sharding=None, quantized=False):
         self.data = data
         self.batch_size = batch_size
         self.rgb_patch_size = rgb_patch_size
         self.discard = discard
         self.size = size
         self.sharding = sharding
+        # ship uint8/uint16 batches (4x less host→device traffic); consumers
+        # normalize in-graph (ops.normalize_batch)
+        self.quantized = quantized
 
     def __iter__(self):
         gen = self.data.get_training_generator(self.batch_size, self.rgb_patch_size,
-                                               self.discard)
+                                               self.discard, quantized=self.quantized)
         return prefetch(gen, size=self.size, sharding=self.sharding)

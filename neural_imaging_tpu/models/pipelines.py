@@ -295,6 +295,11 @@ class NIPModel(TPUModel):
     @functools.cached_property
     def _jit_train_step(self):
         def step(params, opt_state, batch_x, batch_y, lr):
+            # batches may arrive quantized (uint16 RAW / uint8 RGB — 4x less
+            # host→device traffic); normalize in-graph
+            batch_x = ops.normalize_batch(batch_x)
+            batch_y = ops.normalize_batch(batch_y)
+
             def loss_of(p):
                 return self.loss(self._apply(p, batch_x), batch_y)
             loss, grads = jax.value_and_grad(loss_of)(params)

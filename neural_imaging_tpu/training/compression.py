@@ -127,6 +127,32 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
         from neural_imaging_tpu.utils.profiling import ScalarLog
         scalars = ScalarLog(os.path.join(out_dir, 'scalars.jsonl'))
 
+    # Training metrics stay ON DEVICE between validation points (one stacked
+    # host transfer per validation window): materializing them per batch blocks
+    # the host on each step and serializes the pipeline — a full RTT per step
+    # over a tunneled chip (docs/benchmarks.md "async epoch loop").
+    import jax
+    import jax.numpy as jnp
+    pending = []  # one {loss, ssim, entropy, scaling, lr, epoch} per epoch
+
+    def flush_pending():
+        if not pending:
+            return
+        stacked = {k: jnp.stack([p[k] for p in pending])
+                   for k in ('loss', 'ssim', 'entropy', 'scaling')}
+        host = {k: np.asarray(jax.device_get(v), dtype=np.float64)
+                for k, v in stacked.items()}
+        for i, p in enumerate(pending):
+            for key in ('loss', 'ssim', 'entropy'):
+                perf[key]['training'].append(float(host[key][i]))
+            if scalars is not None:
+                s = float(host['scaling'][i])
+                scalars.log(p['epoch'], loss=float(host['loss'][i]),
+                            ssim=float(host['ssim'][i]),
+                            entropy=float(host['entropy'][i]), lr=p['lr'],
+                            scaling=0.0 if np.isnan(s) else s)
+        pending.clear()
+
     with tqdm(total=training['n_epochs'], ncols=160,
               desc=dcn.model_code.split('/')[-1]) as pbar:
         for epoch in range(training['n_epochs']):
@@ -163,22 +189,19 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
                     (batch_x,) = parallel.shard(batch_x)
                 values = dcn.training_step(batch_x, learning_rate)
                 for key, value in values.items():
-                    caches[key]['training'].append(float(np.asarray(value)))
+                    caches[key]['training'].append(value)  # device scalars
 
-            for key in ('loss', 'ssim', 'entropy'):
-                perf[key]['training'].append(float(np.mean(caches[key]['training'])))
-
-            scaling = (float(np.asarray(dcn.params['latent_scale']))
-                       if dcn._h.scale_latent else np.nan)
-            if scalars is not None:
-                scalars.log(epoch, loss=perf['loss']['training'][-1],
-                            ssim=perf['ssim']['training'][-1],
-                            entropy=perf['entropy']['training'][-1],
-                            lr=learning_rate,
-                            scaling=0.0 if np.isnan(scaling) else scaling)
-            codebook = dcn.get_codebook()
+            pending.append({
+                'loss': jnp.mean(jnp.stack(list(caches['loss']['training']))),
+                'ssim': jnp.mean(jnp.stack(list(caches['ssim']['training']))),
+                'entropy': jnp.mean(jnp.stack(list(caches['entropy']['training']))),
+                'scaling': (jnp.reshape(dcn.params['latent_scale'], ())
+                            if dcn._h.scale_latent else jnp.float32(np.nan)),
+                'lr': learning_rate, 'epoch': epoch})
 
             if epoch % training['validation_schedule'] == 0:
+                flush_pending()
+                codebook = dcn.get_codebook()
                 for batch_id in range(v_batches):
                     batch_x = data.next_validation_batch(batch_id, training['batch_size'])
                     if isinstance(batch_x, tuple):
@@ -216,18 +239,23 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
                               f'{previous:.4f} -> {current:.4f}')
                         break
 
-            progress = {
-                'L': np.mean(perf['loss']['training'][-3:]),
-                'lr': f'{learning_rate:.1e}',
-                'H': '{:.1f}'.format(perf['entropy']['training'][-1]),
-            }
-            if perf['ssim']['validation']:
-                progress['ssim'] = f"{perf['ssim']['validation'][-1]:.2f}"
-            if dcn._h.scale_latent:
-                progress['S'] = f'{scaling:.1f}'
-            pbar.set_postfix(progress)
+            # postfix refreshes at validation points (metrics stay on device
+            # in between)
+            if perf['loss']['training']:
+                progress = {
+                    'L': np.mean(perf['loss']['training'][-3:]),
+                    'lr': f'{learning_rate:.1e}',
+                    'H': '{:.1f}'.format(perf['entropy']['training'][-1]),
+                }
+                if perf['ssim']['validation']:
+                    progress['ssim'] = f"{perf['ssim']['validation'][-1]:.2f}"
+                if dcn._h.scale_latent and epoch % training['validation_schedule'] == 0:
+                    progress['S'] = '{:.1f}'.format(
+                        float(np.asarray(dcn.params['latent_scale'])))
+                pbar.set_postfix(progress)
             pbar.update(1)
 
+    flush_pending()
     save_progress(dcn, data, training, out_dir)
     dcn.save_model(out_dir, quiet=True)
     if scalars is not None:

@@ -34,7 +34,7 @@ def default_training_specs():
 
 
 def train_manipulation_nip(flow, training, data, directories=None, overwrite=False,
-                           parallel=None, nan_check=False):
+                           parallel=None, nan_check=False, device_data=False):
     """
     Train the manipulation-classification workflow. Minimal inner loop:
 
@@ -54,6 +54,10 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
     the guard otherwise forces is the single biggest throughput killer
     (docs/benchmarks.md). Pass True to fail on the exact offending step
     (reference semantics, ref workflows/manipulation_classification.py:281).
+
+    ``device_data=True`` uploads the full training set to HBM once and samples
+    patches in-graph (data.device_sampler.DeviceSampler) — zero host→device
+    traffic in the hot loop; the fastest single-chip path.
     """
     dirs = {'root': './data/m/', 'nip_snapshots': './data/models/nip/'}
     if directories is not None:
@@ -134,8 +138,28 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
         logger.info('Training %s', parallel.describe())
 
     model_list = ['nip', 'fan']
-    loss_epoch = {key: deque(maxlen=n_batches) for key in model_list}
     loss_last_k = {key: deque(maxlen=10) for key in model_list}
+    # Per-epoch losses stay ON DEVICE between validation points: materializing a
+    # scalar (float()) blocks the host on the step result, which serializes the
+    # pipeline — over a tunneled chip that is a full RTT per step and was
+    # measured at ~1.6 steps/s vs the same graph's 25+ steps/s when steps are
+    # left to enqueue freely (docs/benchmarks.md "async epoch loop").
+    pending = {key: [] for key in model_list}  # device means, one per epoch
+
+    def flush_pending():
+        """One host transfer for all epochs since the last flush."""
+        if not pending['fan']:
+            return
+        import jax
+        import jax.numpy as jnp
+        models = {'nip': flow.nip, 'fan': flow.fan}
+        values = {k: np.asarray(jax.device_get(jnp.stack(v)), dtype=np.float64)
+                  for k, v in pending.items() if v}
+        for key, vals in values.items():
+            for v in vals:
+                models[key].log_metric('loss', 'training', float(v))
+                loss_last_k[key].append(float(v))
+            pending[key].clear()
 
     training_summary = OrderedDict()
     training_summary['Problem'] = flow.summary()
@@ -170,9 +194,28 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
         prefetcher = EpochPrefetcher(data, training['batch_size'],
                                      2 * training['patch_size'], discard='flat',
                                      sharding=(parallel.batch_sharding
-                                               if parallel is not None else None))
+                                               if parallel is not None else None),
+                                     quantized=True)
+        sampler = None
+        if device_data:
+            if parallel is not None:
+                raise ValueError('device_data currently targets the single-chip '
+                                 'path; use the host prefetcher with --devices')
+            from neural_imaging_tpu.data.device_sampler import DeviceSampler
+            sampler = DeviceSampler(data, training['batch_size'],
+                                    2 * training['patch_size'], discard='flat')
+            logger.info('Training from device-resident data (%d images in HBM)',
+                        sampler.n_images)
+
+        import jax.numpy as jnp
         for epoch in range(training['n_epochs']):
-            for batch in prefetcher:
+            fan_losses, nip_losses = [], []
+            if sampler is not None:
+                base = epoch * sampler.epoch_steps()
+                batches = (sampler(base + i) for i in range(sampler.epoch_steps()))
+            else:
+                batches = prefetcher
+            for batch in batches:
                 if data._loaded_data == 'xy':
                     batch_x, batch_y = batch
                 else:
@@ -182,18 +225,19 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
                 comb_loss, comp_loss = flow.training_step(
                     batch_x, batch_y, training['lambda_nip'], training['lambda_dcn'],
                     training['augment'], learning_rate)
-                loss_epoch['fan'].append(float(comb_loss))
-                loss_epoch['nip'].append(float(np.asarray(comp_loss['nip'])))
+                # keep on device — no per-step host sync (see pending above)
+                fan_losses.append(comb_loss)
+                nip_losses.append(comp_loss['nip'])
 
-            for model_name, model in zip(model_list, [flow.nip, flow.fan]):
-                model.log_metric('loss', 'training',
-                                 np.asarray(loss_epoch[model_name], dtype=np.float64))
-                loss_last_k[model_name].append(model.pop_metric('loss', 'training'))
+            pending['fan'].append(jnp.mean(jnp.stack(fan_losses)))
+            pending['nip'].append(jnp.mean(jnp.stack(nip_losses)))
 
             if epoch % training['validation_schedule'] == 0:
-                # deferred NaN-gradient guard: one device->host transfer for the
-                # whole window instead of a host sync per step
+                # deferred NaN-gradient guard + loss materialization: one
+                # device->host transfer for the whole window instead of a host
+                # sync per step
                 flow.assert_finite()
+                flush_pending()
                 accuracy, conf = validation.validate_fan(flow, data)
                 flow.fan.log_metric('accuracy', 'validation', accuracy)
                 flow.fan.performance['confusion'] = conf.tolist()
@@ -240,17 +284,21 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
             if epoch % lr_decay_schedule == 0:
                 learning_rate *= lr_decay_rate
 
-            progress = {'fan': np.mean(loss_last_k['fan']),
-                        'acc': flow.fan.performance['accuracy']['validation'][-1]}
-            if np.mean(loss_last_k['nip']) > 0:
-                progress['nip'] = round(float(np.mean(loss_last_k['nip'])), 2)
-            if flow.nip.performance['psnr']['validation']:
-                progress['psnr'] = flow.nip.performance['psnr']['validation'][-1]
-            pbar.set_postfix(**progress)
+            # postfix values refresh at validation points (losses stay on
+            # device in between — see pending above)
+            if loss_last_k['fan']:
+                progress = {'fan': np.mean(loss_last_k['fan']),
+                            'acc': flow.fan.performance['accuracy']['validation'][-1]}
+                if loss_last_k['nip'] and np.mean(loss_last_k['nip']) > 0:
+                    progress['nip'] = round(float(np.mean(loss_last_k['nip'])), 2)
+                if flow.nip.performance['psnr']['validation']:
+                    progress['psnr'] = flow.nip.performance['psnr']['validation'][-1]
+                pbar.set_postfix(**progress)
             pbar.update(1)
 
     # final validation
     flow.assert_finite()
+    flush_pending()
     accuracy, conf = validation.validate_fan(flow, data)
     flow.fan.performance['accuracy']['validation'].append(accuracy)
     flow.fan.performance['confusion'] = conf.tolist()

@@ -64,10 +64,14 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
                     validation_loss_threshold=1e-3, validation_schedule=100,
                     resume=False, patch_size=64, batch_size=20, data=None,
                     out_directory_root='./data/models/nip', save_best=False,
-                    discard='flat', parallel=None):
+                    discard='flat', parallel=None, device_data=False):
     """``parallel``: optional parallel.train.DataParallel — replicates the model
     over the mesh and lands every training batch pre-sharded on the batch axis,
-    so the same jitted step runs SPMD with gradient all-reduces over ICI."""
+    so the same jitted step runs SPMD with gradient all-reduces over ICI.
+
+    ``device_data``: upload the full training set to HBM once and sample
+    patches in-graph (zero host→device traffic per step — the fastest
+    single-chip path; data.device_sampler.DeviceSampler)."""
     if data is None:
         raise ValueError('Training data seems not to be loaded!')
     if parallel is not None:
@@ -146,6 +150,30 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
     progress_dict = {}
     epoch = start_epoch
 
+    # Per-epoch training losses stay ON DEVICE between validation points — a
+    # host materialization blocks on the step result and serializes the
+    # pipeline (a full RTT per sync on a tunneled chip; docs/benchmarks.md
+    # "async epoch loop"). One stacked transfer per validation window instead.
+    import jax
+    import jax.numpy as jnp
+    pending_losses = []
+
+    def flush_pending():
+        if pending_losses:
+            for v in np.asarray(jax.device_get(jnp.stack(pending_losses)),
+                                dtype=np.float64):
+                model.log_metric('loss', 'training', float(v))
+            pending_losses.clear()
+
+    sampler = None
+    if device_data:
+        if parallel is not None:
+            raise ValueError('device_data currently targets the single-chip '
+                             'path; use the host prefetcher with --devices')
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        sampler = DeviceSampler(data, batch_size, 2 * patch_size, discard=discard)
+        print(f'Training from device-resident data ({sampler.n_images} images in HBM)')
+
     with tqdm(total=n_epochs, ncols=TQDM_WIDTH,
               desc=f'{model.model_code} for {camera_name}') as pbar:
         pbar.update(start_epoch)
@@ -157,13 +185,19 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
             loss_local = []
             from neural_imaging_tpu.data.prefetch import EpochPrefetcher
             sharding = parallel.batch_sharding if parallel is not None else None
-            for bx, by in EpochPrefetcher(data, batch_size, 2 * patch_size, discard,
-                                          sharding=sharding):
+            if sampler is not None:
+                base = epoch * sampler.epoch_steps()
+                batches = (sampler(base + i) for i in range(sampler.epoch_steps()))
+            else:
+                batches = EpochPrefetcher(data, batch_size, 2 * patch_size, discard,
+                                          sharding=sharding, quantized=True)
+            for bx, by in batches:
                 loss = model.training_step(bx, by, learning_rate)
-                loss_local.append(loss)
-            model.log_metric('loss', 'training', np.asarray(loss_local, dtype=np.float64))
+                loss_local.append(loss)  # device scalar — no host sync here
+            pending_losses.append(jnp.mean(jnp.stack(loss_local)))
 
             if epoch % validation_schedule == 0:
+                flush_pending()
                 ssims, psnrs, v_losses, _ = validate(model, data, out_directory, True,
                                                      epoch, True, model.loss_metric)
                 model.log_metric('ssim', 'validation', ssims)
@@ -195,9 +229,14 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
                 progress_dict = {'psnr': model.pop_metric('psnr', 'validation'),
                                  'ssim': model.pop_metric('ssim', 'validation')}
 
-            pbar.set_postfix(loss=model.pop_metric('loss', 'training'), **progress_dict)
+            # postfix refreshes at validation points (losses stay on device in
+            # between)
+            if model.performance['loss']['training']:
+                pbar.set_postfix(loss=model.pop_metric('loss', 'training'),
+                                 **progress_dict)
             pbar.update(1)
 
+    flush_pending()
     training_summary['Epoch'] = epoch
     val_losses = model.performance['loss']['validation']
     if not save_best or (val_losses and val_losses[-1] <= min(val_losses)):

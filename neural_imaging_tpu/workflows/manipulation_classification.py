@@ -417,6 +417,11 @@ class ManipulationClassification:
         if cache_key not in self._jitted:
             def step(tparams, fparams, opt_state, key, batch_x, batch_y,
                      l_nip, l_dcn, lr):
+                # batches may arrive quantized (uint16 RAW / uint8 RGB — 4x
+                # less host→device traffic); normalize in-graph
+                batch_x = ops.normalize_batch(batch_x)
+                if batch_y is not None:
+                    batch_y = ops.normalize_batch(batch_y)
                 key_next, k_manip, k_q, k_str = jax.random.split(key, 4)
                 ql, qc = self._channel_qtables_in_graph(k_q)
                 scalars, indices = (self._sample_strengths_in_graph(k_str)
@@ -438,11 +443,11 @@ class ManipulationClassification:
 
         tparams = self._train_partition(self.params)
         fparams = self._frozen_partition(self.params)
-        by = None if batch_y is None else jnp.asarray(batch_y, jnp.float32)
+        by = None if batch_y is None else jnp.asarray(batch_y)
 
         tparams, self.opt_state, self._key, loss, parts, finite = self._jitted[cache_key](
             tparams, fparams, self.opt_state, self._key,
-            jnp.asarray(batch_x, jnp.float32), by,
+            jnp.asarray(batch_x), by,
             jnp.float32(lambda_nip), jnp.float32(lambda_dcn), jnp.float32(learning_rate))
 
         if self.nan_check:

@@ -160,3 +160,26 @@ class TestSubsampling:
             out = np.asarray(codec.process(images[:1], 50))
             psnrs[mode] = float(np.mean(metrics.psnr(images[:1], out)))
         assert all(20 < v < 60 for v in psnrs.values()), psnrs
+
+
+class TestImplDispatch:
+    def test_pallas_impl_matches_xla(self):
+        """jpeg_forward's measured auto-dispatch: the 'pallas' impl (interpret
+        mode off-TPU) must match 'xla' for rounding='soft' — same hard-round
+        forward, same coefficients."""
+        import jax.numpy as jnp
+        import numpy as np
+        from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
+        from neural_imaging_tpu.models.jpeg import jpeg_forward
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+        ql, qc = jnp.asarray(jpeg_qtable(50, 0)), jnp.asarray(jpeg_qtable(50, 1))
+        y_x, c_x = jpeg_forward(x, ql, qc, rounding='soft', impl='xla')
+        y_p, c_p = jpeg_forward(x, ql, qc, rounding='soft', impl='pallas')
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), atol=2e-3)
+
+    def test_auto_is_xla_off_tpu(self):
+        from neural_imaging_tpu.models.jpeg import _pallas_jpeg_wins
+        assert not _pallas_jpeg_wins((1, 512, 512, 3))  # CPU test backend

@@ -58,6 +58,24 @@ class TestCodecRoundTrip:
         with pytest.raises(ljpeg.LJpegError):
             ljpeg.decode(b'\x00\x01\x02\x03')
 
+    def test_native_and_python_paths_agree(self, monkeypatch):
+        """The C++ scan codec (native/ljpeg/ljpeg.cpp) and the pure-Python
+        loops must produce byte-identical streams and identical decodes."""
+        rng = np.random.default_rng(31)
+        arr = rng.integers(0, 1 << 14, (40, 24, 2)).astype(np.uint16)
+
+        stream_default = ljpeg.encode(arr, precision=14)
+        decoded_default, _ = ljpeg.decode(stream_default)
+
+        monkeypatch.setattr(ljpeg, '_lib', None)
+        monkeypatch.setattr(ljpeg, '_lib_failed', True)  # force Python paths
+        stream_py = ljpeg.encode(arr, precision=14)
+        decoded_py, _ = ljpeg.decode(stream_default)
+
+        assert stream_py == stream_default
+        np.testing.assert_array_equal(decoded_py, decoded_default)
+        np.testing.assert_array_equal(decoded_py.astype(np.uint16), arr)
+
 
 class TestCompressedDNG:
     def test_write_read_ljpeg_dng(self, tmp_path):

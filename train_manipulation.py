@@ -67,6 +67,9 @@ def main():
                              "\"{'conv_precision': 'high'}\"")
     parser.add_argument('--val-schedule', type=int, default=50)
     parser.add_argument('--overwrite', action='store_true')
+    parser.add_argument('--device-data', action='store_true',
+                        help='upload the full training set to HBM once and '
+                             'sample patches in-graph (fastest single-chip path)')
     parser.add_argument('--nan-check', action='store_true',
                         help='check gradients for NaNs on every step (debug; '
                              'forces a per-step host sync — the default defers '
@@ -136,7 +139,8 @@ def main():
                                directories={'root': args.dir,
                                             'nip_snapshots': args.nip_dir},
                                overwrite=args.overwrite, parallel=parallel,
-                               nan_check=args.nan_check)
+                               nan_check=args.nan_check,
+                               device_data=args.device_data)
 
 
 if __name__ == '__main__':

@@ -81,6 +81,9 @@ def main():
     parser.add_argument('--lr-schedule', default=None,
                         help="JSON {epoch: lr} decay schedule, e.g. "
                              "\"{'0': 1e-4, '4000': 5e-5}\" (overrides --lr)")
+    parser.add_argument('--device-data', action='store_true',
+                        help='upload the full training set to HBM once and '
+                             'sample patches in-graph (fastest single-chip path)')
     parser.add_argument('--cameras-config', default='config/cameras.json')
     parser.add_argument('-f', '--fill', default=None,
                         help="summarize trained models: '-' to print, or a CSV path")
@@ -138,7 +141,8 @@ def main():
                         lr_schedule=lr_schedule, validation_schedule=args.val_schedule,
                         resume=args.resume, patch_size=args.patch,
                         batch_size=args.batch, data=data,
-                        out_directory_root=args.out, parallel=parallel)
+                        out_directory_root=args.out, parallel=parallel,
+                        device_data=args.device_data)
 
 
 if __name__ == '__main__':
