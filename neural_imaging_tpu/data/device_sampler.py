@@ -58,7 +58,10 @@ class DeviceSampler:
             raise ValueError(f'Images ({self.H}x{self.W}) smaller than the '
                              f'requested patch ({rgb_patch_size})')
         self._key = jax.random.PRNGKey(seed)
-        self._sample = jax.jit(self._build())
+        # pure (un-jitted) sampling fn — composable into larger jitted programs
+        # (e.g. a lax.scan over training steps with in-graph sampling)
+        self.pure_sample = self._build()
+        self._sample = jax.jit(self.pure_sample)
 
     def _build(self):
         B, M = self.batch_size, self.batch_size * self.oversample

@@ -320,6 +320,44 @@ class NIPModel(TPUModel):
             jnp.float32(learning_rate))
         return loss
 
+    def training_scan(self, sampler, n_steps, learning_rate=1e-4):
+        """``n_steps`` training steps in ONE jitted lax.scan with IN-GRAPH
+        batch sampling from the device-resident dataset (sampler.pure_sample)
+        — one host dispatch amortizes all per-step overhead. Returns the
+        per-step losses as a device array (no host sync)."""
+        if not hasattr(self, '_scan_jits'):
+            self._scan_jits = {}
+            self._scan_key = jax.random.PRNGKey(17)
+        cache_key = (n_steps, id(sampler))
+        if cache_key not in self._scan_jits:
+            sample = sampler.pure_sample
+            from neural_imaging_tpu.ops import ops as _ops
+
+            def scan_fn(params, opt_state, key, lr):
+                def body(carry, _):
+                    params, opt_state, key = carry
+                    key, k_s = jax.random.split(key)
+                    raw, rgb = sample(k_s)
+                    bx = _ops.normalize_batch(raw)
+                    by = _ops.normalize_batch(rgb)
+
+                    def loss_of(p):
+                        return self.loss(self._apply(p, bx), by)
+                    loss, grads = jax.value_and_grad(loss_of)(params)
+                    params, opt_state = self.optimizer_update(
+                        grads, opt_state, params, lr)
+                    return (params, opt_state, key), loss
+
+                (params, opt_state, key), losses = jax.lax.scan(
+                    body, (params, opt_state, key), None, length=n_steps)
+                return params, opt_state, key, losses
+            self._scan_jits[cache_key] = jax.jit(scan_fn, donate_argnums=(0, 1, 2))
+
+        self.params, self.opt_state, self._scan_key, losses = \
+            self._scan_jits[cache_key](self.params, self.opt_state, self._scan_key,
+                                       jnp.float32(learning_rate))
+        return losses
+
     # -- bookkeeping -----------------------------------------------------------------
 
     def reset_performance_stats(self):

@@ -197,6 +197,7 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
                                                if parallel is not None else None),
                                      quantized=True)
         sampler = None
+        scan_cache = {}
         if device_data:
             if parallel is not None:
                 raise ValueError('device_data currently targets the single-chip '
@@ -204,33 +205,57 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
             from neural_imaging_tpu.data.device_sampler import DeviceSampler
             sampler = DeviceSampler(data, training['batch_size'],
                                     2 * training['patch_size'], discard='flat')
-            logger.info('Training from device-resident data (%d images in HBM)',
-                        sampler.n_images)
+            logger.info('Training from device-resident data (%d images in HBM, '
+                        'scanned multi-epoch steps)', sampler.n_images)
+
+        def scanned_epoch(epoch, lr):
+            """Train up to the next validation/lr boundary in ONE jitted
+            lax.scan (in-graph sampling — zero host work per step); returns
+            this epoch's device-mean losses from the chunk cache."""
+            if epoch not in scan_cache:
+                last = epoch
+                while not (last % training['validation_schedule'] == 0
+                           or last % lr_decay_schedule == 0
+                           or last == training['n_epochs'] - 1):
+                    last += 1
+                # fixed ladder of scan lengths so only ~3 distinct programs
+                # ever compile, whatever the validation/lr schedules are
+                remaining = last - epoch + 1
+                n_ep = next(k for k in (25, 5, 1) if k <= remaining)
+                spe = sampler.epoch_steps()
+                losses, nips = flow.training_scan(
+                    sampler, n_ep * spe, training['lambda_nip'],
+                    training['lambda_dcn'], training['augment'], lr)
+                l = losses.reshape(n_ep, spe).mean(axis=1)
+                ni = nips.reshape(n_ep, spe).mean(axis=1)
+                for i in range(n_ep):
+                    scan_cache[epoch + i] = (l[i], ni[i])
+            return scan_cache.pop(epoch)
 
         import jax.numpy as jnp
         for epoch in range(training['n_epochs']):
-            fan_losses, nip_losses = [], []
             if sampler is not None:
-                base = epoch * sampler.epoch_steps()
-                batches = (sampler(base + i) for i in range(sampler.epoch_steps()))
+                fan_mean, nip_mean = scanned_epoch(epoch, learning_rate)
+                pending['fan'].append(fan_mean)
+                pending['nip'].append(nip_mean)
             else:
-                batches = prefetcher
-            for batch in batches:
-                if data._loaded_data == 'xy':
-                    batch_x, batch_y = batch
-                else:
-                    batch_x = batch
-                    batch_y = batch_x
+                fan_losses, nip_losses = [], []
+                for batch in prefetcher:
+                    if data._loaded_data == 'xy':
+                        batch_x, batch_y = batch
+                    else:
+                        batch_x = batch
+                        batch_y = batch_x
 
-                comb_loss, comp_loss = flow.training_step(
-                    batch_x, batch_y, training['lambda_nip'], training['lambda_dcn'],
-                    training['augment'], learning_rate)
-                # keep on device — no per-step host sync (see pending above)
-                fan_losses.append(comb_loss)
-                nip_losses.append(comp_loss['nip'])
+                    comb_loss, comp_loss = flow.training_step(
+                        batch_x, batch_y, training['lambda_nip'],
+                        training['lambda_dcn'], training['augment'], learning_rate)
+                    # keep on device — no per-step host sync (see pending above)
+                    fan_losses.append(comb_loss)
+                    nip_losses.append(comp_loss['nip'])
 
-            pending['fan'].append(jnp.mean(jnp.stack(fan_losses)))
-            pending['nip'].append(jnp.mean(jnp.stack(nip_losses)))
+                pending['fan'].append(jnp.mean(jnp.stack(fan_losses)))
+                pending['nip'].append(jnp.mean(jnp.stack(nip_losses)))
 
             if epoch % training['validation_schedule'] == 0:
                 # deferred NaN-gradient guard + loss materialization: one

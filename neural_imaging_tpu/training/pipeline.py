@@ -166,13 +166,36 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
             pending_losses.clear()
 
     sampler = None
+    scan_cache = {}
     if device_data:
         if parallel is not None:
             raise ValueError('device_data currently targets the single-chip '
                              'path; use the host prefetcher with --devices')
         from neural_imaging_tpu.data.device_sampler import DeviceSampler
         sampler = DeviceSampler(data, batch_size, 2 * patch_size, discard=discard)
-        print(f'Training from device-resident data ({sampler.n_images} images in HBM)')
+        print(f'Training from device-resident data ({sampler.n_images} images in '
+              'HBM, scanned multi-epoch steps)')
+
+    def scanned_epoch(epoch, lr):
+        """Train up to the next validation/lr-schedule boundary in ONE jitted
+        lax.scan with in-graph sampling; returns this epoch's device-mean loss
+        from the chunk cache."""
+        if epoch not in scan_cache:
+            last = epoch
+            while not (last % validation_schedule == 0
+                       or (last + 1) in lr_schedule
+                       or last == n_epochs - 1):
+                last += 1
+            # fixed ladder of scan lengths so only ~3 distinct programs ever
+            # compile, whatever the validation/lr schedules are
+            remaining = last - epoch + 1
+            n_ep = next(k for k in (25, 5, 1) if k <= remaining)
+            spe = sampler.epoch_steps()
+            losses = model.training_scan(sampler, n_ep * spe, lr)
+            means = losses.reshape(n_ep, spe).mean(axis=1)
+            for i in range(n_ep):
+                scan_cache[epoch + i] = means[i]
+        return scan_cache.pop(epoch)
 
     with tqdm(total=n_epochs, ncols=TQDM_WIDTH,
               desc=f'{model.model_code} for {camera_name}') as pbar:
@@ -182,19 +205,18 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
             if epoch in lr_schedule:
                 learning_rate = lr_schedule[epoch]
 
-            loss_local = []
-            from neural_imaging_tpu.data.prefetch import EpochPrefetcher
-            sharding = parallel.batch_sharding if parallel is not None else None
             if sampler is not None:
-                base = epoch * sampler.epoch_steps()
-                batches = (sampler(base + i) for i in range(sampler.epoch_steps()))
+                pending_losses.append(scanned_epoch(epoch, learning_rate))
             else:
-                batches = EpochPrefetcher(data, batch_size, 2 * patch_size, discard,
-                                          sharding=sharding, quantized=True)
-            for bx, by in batches:
-                loss = model.training_step(bx, by, learning_rate)
-                loss_local.append(loss)  # device scalar — no host sync here
-            pending_losses.append(jnp.mean(jnp.stack(loss_local)))
+                loss_local = []
+                from neural_imaging_tpu.data.prefetch import EpochPrefetcher
+                sharding = parallel.batch_sharding if parallel is not None else None
+                for bx, by in EpochPrefetcher(data, batch_size, 2 * patch_size,
+                                              discard, sharding=sharding,
+                                              quantized=True):
+                    loss = model.training_step(bx, by, learning_rate)
+                    loss_local.append(loss)  # device scalar — no host sync here
+                pending_losses.append(jnp.mean(jnp.stack(loss_local)))
 
             if epoch % validation_schedule == 0:
                 flush_pending()

@@ -460,11 +460,77 @@ class ManipulationClassification:
         self._push_params_to_models()
         return loss, parts
 
+    def training_scan(self, sampler, n_steps, lambda_nip=0, lambda_dcn=0,
+                      augment=False, learning_rate=1e-4):
+        """Run ``n_steps`` training steps in ONE jitted program: a lax.scan
+        whose body samples the batch IN-GRAPH (sampler.pure_sample — the
+        device-resident dataset) and applies the same loss/update as
+        ``training_step``. One host dispatch per call amortizes all dispatch
+        and argument-processing overhead — the fully device-resident trainer.
+
+        Returns (losses, nip_losses) as length-``n_steps`` DEVICE arrays (no
+        host sync); finite-flags accumulate for ``assert_finite``."""
+        import optax
+        cache_key = ('scan', n_steps, augment, sampler is not None and id(sampler))
+        if cache_key not in self._jitted:
+            sample = sampler.pure_sample
+            loaded = sampler._loaded
+
+            def scan_fn(tparams, fparams, opt_state, key, l_nip, l_dcn, lr):
+                def body(carry, _):
+                    tparams, opt_state, key = carry
+                    key, k_s, k_manip, k_q, k_str = jax.random.split(key, 5)
+                    raw, rgb = sample(k_s)
+                    if loaded == 'xy':
+                        batch_x, batch_y = raw, rgb
+                    elif loaded == 'y':
+                        batch_x = batch_y = rgb
+                    else:
+                        batch_x, batch_y = raw, None
+                    batch_x = ops.normalize_batch(batch_x)
+                    if batch_y is not None:
+                        batch_y = ops.normalize_batch(batch_y)
+
+                    ql, qc = self._channel_qtables_in_graph(k_q)
+                    scalars, indices = (self._sample_strengths_in_graph(k_str)
+                                        if augment else (None, None))
+
+                    def loss_of(tp):
+                        params = {**fparams, **tp}
+                        return self._losses(params, batch_x, batch_y, k_manip,
+                                            ql, qc, l_nip, l_dcn, scalars, indices)
+                    (loss, parts), grads = jax.value_and_grad(
+                        loss_of, has_aux=True)(tparams)
+                    finite = jnp.all(jnp.asarray(
+                        [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+                    updates, opt_state = self._tx.update(grads, opt_state, tparams)
+                    updates = jax.tree.map(lambda u: -lr * u, updates)
+                    tparams = optax.apply_updates(tparams, updates)
+                    return (tparams, opt_state, key), (loss, parts['nip'], finite)
+
+                (tparams, opt_state, key), outs = jax.lax.scan(
+                    body, (tparams, opt_state, key), None, length=n_steps)
+                return tparams, opt_state, key, outs
+            self._jitted[cache_key] = jax.jit(scan_fn, donate_argnums=(0, 2, 3))
+
+        tparams = self._train_partition(self.params)
+        fparams = self._frozen_partition(self.params)
+        tparams, self.opt_state, self._key, (losses, nip_losses, finite) = \
+            self._jitted[cache_key](
+                tparams, fparams, self.opt_state, self._key,
+                jnp.float32(lambda_nip), jnp.float32(lambda_dcn),
+                jnp.float32(learning_rate))
+        self._finite_flags.append(finite)
+        self.params = {**fparams, **tparams}
+        self._push_params_to_models()
+        return losses, nip_losses
+
     def assert_finite(self):
         """Deferred NaN-gradient check (used when nan_check=False). Flags are
         stacked on device so the check costs one transfer, not one per step."""
         if self._finite_flags:
-            flags = np.asarray(jnp.stack(self._finite_flags))
+            flags = np.concatenate([np.atleast_1d(np.asarray(f))
+                                    for f in self._finite_flags])
             self._finite_flags = []
             if not flags.all():
                 raise RuntimeError('∇ NaNs encountered in a joint training step')

@@ -95,7 +95,12 @@ class TestGraftEntry:
         if len(jax.devices()) < 4:
             pytest.skip('needs multiple devices')
         import __graft_entry__ as ge
-        ge.dryrun_multichip(4)
+        try:
+            ge.dryrun_multichip(4)
+        finally:
+            # dryrun force-reconfigures the process to 4 CPU devices; restore
+            # the suite's 8-device virtual mesh for the tests that follow
+            ge._force_cpu_devices(8)
 
 
 def _tiny_dataset(tmp_path, n_images=10, load='xy', val_patch=16, seed=5):

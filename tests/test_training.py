@@ -193,3 +193,52 @@ class TestProfiling:
         from neural_imaging_tpu.utils.profiling import compiled_stats
         stats = compiled_stats(lambda x: x @ x, jnp.ones((64, 64)))
         assert isinstance(stats, dict)
+
+
+class TestScannedDeviceDataTraining:
+    """The lax.scan multi-step trainers with in-graph sampling (device_data):
+    one dispatch per chunk, per-step losses returned on device."""
+
+    def test_nip_training_scan_learns(self, data):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        from neural_imaging_tpu.models import pipelines
+
+        m = pipelines.UNet(patch_size=8, n_steps=2)
+        sampler = DeviceSampler(data, batch_size=2, rgb_patch_size=16, seed=3)
+        losses = np.asarray(m.training_scan(sampler, 12, 1e-3))
+        assert losses.shape == (12,)
+        assert np.isfinite(losses).all()
+        more = np.asarray(m.training_scan(sampler, 12, 1e-3))
+        assert more[-4:].mean() < losses[:4].mean()  # loss decreases over 24 steps
+
+    def test_workflow_training_scan(self, data):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        from neural_imaging_tpu.workflows import ManipulationClassification
+
+        flow = ManipulationClassification(
+            'INet', manipulations=['sharpen:1'],
+            distribution={'downsampling': 'none', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0},
+            trainable={'nip'}, raw_patch_size=16)
+        sampler = DeviceSampler(data, batch_size=2, rgb_patch_size=32, seed=5)
+        losses, nip_losses = flow.training_scan(sampler, 6, lambda_nip=0.1,
+                                                learning_rate=1e-4)
+        assert np.asarray(losses).shape == (6,)
+        assert np.isfinite(np.asarray(losses)).all()
+        flow.assert_finite()  # consumes the stacked finite flags
+
+    def test_train_nip_model_device_data_loop(self, data, tmp_path_factory):
+        """The full train_nip_model loop on the device_data path: per-epoch
+        loss history, validation metrics and artifacts all produced."""
+        from neural_imaging_tpu.models import pipelines
+        from neural_imaging_tpu.training.pipeline import train_nip_model
+
+        out = str(tmp_path_factory.mktemp('nip_dd'))
+        m = pipelines.INet(patch_size=8)
+        train_nip_model(m, 'cam', n_epochs=5, validation_schedule=2,
+                        patch_size=8, batch_size=2, data=data,
+                        out_directory_root=out, device_data=True)
+        assert len(m.performance['loss']['training']) == 5
+        assert m.performance['psnr']['validation']
+        assert os.path.isfile(os.path.join(out, 'cam', m.model_code,
+                                           'inet', 'progress.json'))
