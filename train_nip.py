@@ -81,6 +81,9 @@ def main():
     parser.add_argument('--lr-schedule', default=None,
                         help="JSON {epoch: lr} decay schedule, e.g. "
                              "\"{'0': 1e-4, '4000': 5e-5}\" (overrides --lr)")
+    parser.add_argument('--val-threshold', default=None,
+                        help="early-stop threshold on relative validation-loss "
+                             "change (default 1e-3; 'none' disables early stop)")
     parser.add_argument('--device-data', action='store_true',
                         help='upload the full training set to HBM once and '
                              'sample patches in-graph (fastest single-chip path)')
@@ -137,8 +140,12 @@ def main():
 
         lr_schedule = ({int(k): float(v) for k, v in parse_json_arg(args.lr_schedule).items()}
                        if args.lr_schedule else {0: args.lr})
+        threshold = (1e-3 if args.val_threshold is None
+                     else None if args.val_threshold == 'none'
+                     else float(args.val_threshold))
         train_nip_model(model, args.cam, n_epochs=args.epochs,
                         lr_schedule=lr_schedule, validation_schedule=args.val_schedule,
+                        validation_loss_threshold=threshold,
                         resume=args.resume, patch_size=args.patch,
                         batch_size=args.batch, data=data,
                         out_directory_root=args.out, parallel=parallel,
