@@ -215,25 +215,83 @@ class DCN(TPUModel):
         y, entropy = self._jitted['_jit_apply'](self.params, batch_x)
         return (y, entropy) if return_entropy else y
 
-    def training_step(self, batch_x, learning_rate=None):
-        """One jitted step; returns {loss (√2L convention), ssim, entropy}."""
-        if '_jit_train' not in self._jitted:
-            from neural_imaging_tpu.ops import ssim as ssim_ops
+    def _train_step_math(self, params, opt_state, x, lr):
+        """Shared step body: returns (params, opt_state, √(2L) loss, ssim, H).
+        All outputs are device scalars — materializing them per step would
+        serialize the pipeline (docs/benchmarks.md 'async epoch loop')."""
+        from neural_imaging_tpu.ops import ssim as ssim_ops
 
+        def loss_of(p):
+            y, entropy = self._apply(p, x)
+            return self.loss(x, y, entropy), (y, entropy)
+        (loss, (y, entropy)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        params, opt_state = self.optimizer_update(grads, opt_state, params, lr)
+        ssim = jnp.mean(ssim_ops.ssim(x, y))
+        return params, opt_state, jnp.sqrt(2.0 * loss), ssim, entropy
+
+    def training_step(self, batch_x, learning_rate=None):
+        """One jitted step; returns {loss (√2L convention), ssim, entropy} as
+        DEVICE scalars (callers convert at their validation boundaries)."""
+        if '_jit_train' not in self._jitted:
             def step(params, opt_state, x, lr):
-                def loss_of(p):
-                    y, entropy = self._apply(p, x)
-                    return self.loss(x, y, entropy), (y, entropy)
-                (loss, (y, entropy)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-                params, opt_state = self.optimizer_update(grads, opt_state, params, lr)
-                ssim = jnp.mean(ssim_ops.ssim(x, y))
-                return params, opt_state, loss, ssim, entropy
+                return self._train_step_math(params, opt_state,
+                                             ops.normalize_batch(x), lr)
             self._jitted['_jit_train'] = jax.jit(step, donate_argnums=(0, 1))
 
         lr = jnp.float32(1e-4 if learning_rate is None else learning_rate)
         self.params, self.opt_state, loss, ssim, entropy = self._jitted['_jit_train'](
             self.params, self.opt_state, jnp.asarray(batch_x), lr)
-        return {'loss': float(np.sqrt(2 * float(loss))), 'ssim': ssim, 'entropy': entropy}
+        return {'loss': loss, 'ssim': ssim, 'entropy': entropy}
+
+    def training_scan(self, sampler, n_steps, learning_rate=None,
+                      augmentation_probs=None):
+        """``n_steps`` steps in ONE jitted lax.scan: in-graph batch sampling
+        from the device-resident dataset plus in-graph augmentations (batch
+        h/v flips and per-image gamma, matching the host augmentations at
+        training/compression.py defaults; the resize augmentation defaults to
+        probability 0 and stays host-only). Returns per-step {loss, ssim,
+        entropy} device arrays."""
+        probs = {'flip_h': 0.5, 'flip_v': 0.5, 'gamma': 0.5}
+        probs.update(augmentation_probs or {})
+        if not hasattr(self, '_scan_jits'):
+            self._scan_jits = {}
+            self._scan_key = jax.random.PRNGKey(29)
+        cache_key = (n_steps, id(sampler),
+                     probs['flip_h'], probs['flip_v'], probs['gamma'])
+        if cache_key not in self._scan_jits:
+            sample = sampler.pure_sample
+
+            def augment(x, key):
+                k_h, k_v, k_g, k_gv = jax.random.split(key, 4)
+                x = jnp.where(jax.random.uniform(k_h) < probs['flip_h'],
+                              x[:, :, ::-1, :], x)
+                x = jnp.where(jax.random.uniform(k_v) < probs['flip_v'],
+                              x[:, ::-1, :, :], x)
+                gamma = jax.random.uniform(k_gv, (x.shape[0], 1, 1, 1),
+                                           minval=0.25, maxval=3.0)
+                x_g = jnp.clip(jnp.power(x, 1.0 / gamma), 0.0, 1.0)
+                return jnp.where(jax.random.uniform(k_g) < probs['gamma'], x_g, x)
+
+            def scan_fn(params, opt_state, key, lr):
+                def body(carry, _):
+                    params, opt_state, key = carry
+                    key, k_s, k_a = jax.random.split(key, 3)
+                    _, rgb = sample(k_s)
+                    x = augment(ops.normalize_batch(rgb), k_a)
+                    params, opt_state, loss, ssim, entropy = \
+                        self._train_step_math(params, opt_state, x, lr)
+                    return (params, opt_state, key), (loss, ssim, entropy)
+
+                (params, opt_state, key), outs = jax.lax.scan(
+                    body, (params, opt_state, key), None, length=n_steps)
+                return params, opt_state, key, outs
+            self._scan_jits[cache_key] = jax.jit(scan_fn, donate_argnums=(0, 1, 2))
+
+        lr = jnp.float32(1e-4 if learning_rate is None else learning_rate)
+        self.params, self.opt_state, self._scan_key, (losses, ssims, entropies) = \
+            self._scan_jits[cache_key](self.params, self.opt_state,
+                                       self._scan_key, lr)
+        return {'loss': losses, 'ssim': ssims, 'entropy': entropies}
 
     # -- stats / docs ------------------------------------------------------------------
 

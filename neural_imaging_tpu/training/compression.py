@@ -87,7 +87,8 @@ def save_progress(dcn, data, training, out_dir):
 
 
 def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
-              overwrite=False, rng=None, scalar_log=True, parallel=None):
+              overwrite=False, rng=None, scalar_log=True, parallel=None,
+              device_data=False):
     """Train a DCN; returns the model output directory.
 
     ``scalar_log`` appends per-epoch scalars to ``scalars.jsonl`` in the output
@@ -97,7 +98,12 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
     ``parallel``: optional parallel.train.DataParallel — replicates the codec
     over the mesh and shards each training batch on the batch axis (SPMD with
     XLA gradient all-reduces; the reference loop is single-device,
-    ref training/compression.py:123)."""
+    ref training/compression.py:123).
+
+    ``device_data``: upload the training set to HBM once and run lax.scan
+    chunks with in-graph sampling AND in-graph flip/gamma augmentations
+    (DCN.training_scan) — one dispatch per chunk. The host-side resize
+    augmentation (probability 0 by default) requires the host path."""
     spec = default_training_spec()
     spec.update(training or {})
     training = spec
@@ -106,6 +112,21 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
         parallel.check_batch(training['batch_size'])
         parallel.distribute(dcn)
         print(f'Training {parallel.describe()}')
+
+    sampler = None
+    scan_cache = {}
+    if device_data:
+        if parallel is not None:
+            raise ValueError('device_data currently targets the single-chip '
+                             'path; use the host prefetcher with --devices')
+        if training['augmentation_probs'].get('resize', 0) > 0:
+            raise ValueError('the resize augmentation is host-only; disable it '
+                             'or drop --device-data')
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        sampler = DeviceSampler(data, training['batch_size'],
+                                training['patch_size'], discard='flat')
+        print(f'Training from device-resident data ({sampler.n_images} images '
+              'in HBM, scanned multi-epoch steps)')
 
     n_batches = data['training']['y'].shape[0] // training['batch_size']
     v_batches = data['validation']['y'].shape[0] // training['batch_size']
@@ -153,6 +174,28 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
                             scaling=0.0 if np.isnan(s) else s)
         pending.clear()
 
+    def scanned_epoch(epoch, lr):
+        """Train up to the next validation/lr boundary in ONE jitted lax.scan
+        (in-graph sampling + augmentation); per-epoch device means from the
+        chunk cache."""
+        import jax.numpy as jnp
+        if epoch not in scan_cache:
+            lr_sched = training['learning_rate_reduction_schedule']
+            last = epoch
+            while not (last % training['validation_schedule'] == 0
+                       or (last + 1) % lr_sched == 0
+                       or last == training['n_epochs'] - 1):
+                last += 1
+            remaining = last - epoch + 1
+            n_ep = next(k for k in (25, 5, 1) if k <= remaining)
+            outs = dcn.training_scan(sampler, n_ep * n_batches, lr,
+                                     training['augmentation_probs'])
+            for key in ('loss', 'ssim', 'entropy'):
+                outs[key] = outs[key].reshape(n_ep, n_batches).mean(axis=1)
+            for i in range(n_ep):
+                scan_cache[epoch + i] = {k: outs[k][i] for k in outs}
+        return scan_cache.pop(epoch)
+
     with tqdm(total=training['n_epochs'], ncols=160,
               desc=dcn.model_code.split('/')[-1]) as pbar:
         for epoch in range(training['n_epochs']):
@@ -160,7 +203,16 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
             if epoch > 0 and epoch % training['learning_rate_reduction_schedule'] == 0:
                 learning_rate *= training['learning_rate_reduction_factor']
 
-            for batch_id in range(n_batches):
+            if sampler is not None:
+                means = scanned_epoch(epoch, learning_rate)
+                pending.append({
+                    'loss': means['loss'], 'ssim': means['ssim'],
+                    'entropy': means['entropy'],
+                    'scaling': (jnp.reshape(dcn.params['latent_scale'], ())
+                                if dcn._h.scale_latent else jnp.float32(np.nan)),
+                    'lr': learning_rate, 'epoch': epoch})
+
+            for batch_id in (() if sampler is not None else range(n_batches)):
                 # random-resize augmentation: sample a larger patch, rescale down
                 patch = training['patch_size']
                 if rng.uniform() < training['augmentation_probs']['resize']:
@@ -191,13 +243,14 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
                 for key, value in values.items():
                     caches[key]['training'].append(value)  # device scalars
 
-            pending.append({
-                'loss': jnp.mean(jnp.stack(list(caches['loss']['training']))),
-                'ssim': jnp.mean(jnp.stack(list(caches['ssim']['training']))),
-                'entropy': jnp.mean(jnp.stack(list(caches['entropy']['training']))),
-                'scaling': (jnp.reshape(dcn.params['latent_scale'], ())
-                            if dcn._h.scale_latent else jnp.float32(np.nan)),
-                'lr': learning_rate, 'epoch': epoch})
+            if sampler is None:
+                pending.append({
+                    'loss': jnp.mean(jnp.stack(list(caches['loss']['training']))),
+                    'ssim': jnp.mean(jnp.stack(list(caches['ssim']['training']))),
+                    'entropy': jnp.mean(jnp.stack(list(caches['entropy']['training']))),
+                    'scaling': (jnp.reshape(dcn.params['latent_scale'], ())
+                                if dcn._h.scale_latent else jnp.float32(np.nan)),
+                    'lr': learning_rate, 'epoch': epoch})
 
             if epoch % training['validation_schedule'] == 0:
                 flush_pending()

@@ -242,3 +242,16 @@ class TestScannedDeviceDataTraining:
         assert m.performance['psnr']['validation']
         assert os.path.isfile(os.path.join(out, 'cam', m.model_code,
                                            'inet', 'progress.json'))
+
+    def test_dcn_training_scan(self, data_dir):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        from neural_imaging_tpu.models.compression import TwitterDCN
+
+        data = Dataset(data_dir, load='y', n_images=4, v_images=2,
+                       val_rgb_patch_size=32, val_n_patches=1, randomize=9)
+        dcn = TwitterDCN(patch_size=32, n_features=4)
+        sampler = DeviceSampler(data, batch_size=2, rgb_patch_size=32)
+        out = dcn.training_scan(sampler, 6, 1e-3)
+        for key in ('loss', 'ssim', 'entropy'):
+            arr = np.asarray(out[key])
+            assert arr.shape == (6,) and np.isfinite(arr).all()

@@ -33,6 +33,9 @@ def main():
     parser.add_argument('--val-schedule', type=int, default=50)
     parser.add_argument('--overwrite', action='store_true')
     parser.add_argument('--dry', action='store_true')
+    parser.add_argument('--device-data', action='store_true',
+                        help='upload the training set to HBM once; scanned '
+                             'chunks with in-graph sampling + augmentations')
     from neural_imaging_tpu.parallel.train import add_cli_args, from_cli_args
     add_cli_args(parser)
     args = parser.parse_args()
@@ -66,7 +69,7 @@ def main():
                    'patch_size': args.patch, 'learning_rate': args.lr,
                    'validation_schedule': args.val_schedule},
                   data, directory=args.out, overwrite=args.overwrite,
-                  parallel=parallel)
+                  parallel=parallel, device_data=args.device_data)
 
 
 if __name__ == '__main__':
