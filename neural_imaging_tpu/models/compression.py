@@ -160,9 +160,13 @@ class DCN(TPUModel):
             z = z * params['latent_scale']
         if self._use_pallas(inference):
             from neural_imaging_tpu.ops.pallas.codebook import quantize_with_entropy_pallas
+            # non-trainable codebooks go in as STATIC numpy values: the kernel
+            # specializes on them, and a jnp constant would be a tracer inside
+            # the enclosing jit (np.asarray on it fails at trace time)
+            cb = (params['codebook'].reshape(-1) if self._h.train_codebook
+                  else quant.default_codebook(self._h.latent_bpf))
             q, entropy, _ = quantize_with_entropy_pallas(
-                z, self._codebook(params), self.v, self.gamma,
-                trainable=self._h.train_codebook)
+                z, cb, self.v, self.gamma, trainable=self._h.train_codebook)
             return q, entropy
         q, entropy, _ = quant.quantize_with_entropy(
             z, self._codebook(params), self._h.rounding, self.v, self.gamma)

@@ -137,3 +137,34 @@ class TestJPEGKernel:
         x, ql, qc = data
         g = jax.grad(lambda q: jnp.mean(jpeg8x8.jpeg_forward_pallas(x, q, qc)[0]))(ql)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestInferenceAutoSelection:
+    """The 'auto' policy (default): Pallas on the forward-only compress() path
+    only — and the non-trainable codebook must enter as a static value so the
+    kernel works INSIDE the jitted encoder (regression: a jnp-constant codebook
+    is a tracer under jit and broke np.asarray at trace time)."""
+
+    @pytest.mark.parametrize('train_codebook', [False, True])
+    def test_compress_pallas_path_under_jit(self, train_codebook, monkeypatch):
+        from neural_imaging_tpu.models import compression
+
+        dcn = compression.TwitterDCN(patch_size=32, n_features=4,
+                                     train_codebook=train_codebook)
+        rng = np.random.default_rng(3)
+        x = rng.random((2, 32, 32, 3)).astype(np.float32)
+        z_xla = np.asarray(dcn.compress(x))
+
+        dcn2 = compression.TwitterDCN(patch_size=32, n_features=4,
+                                      train_codebook=train_codebook)
+        dcn2.params = dcn.params
+        monkeypatch.setattr(compression.DCN, '_use_pallas',
+                            lambda self, inference: inference)
+        z_pl = np.asarray(dcn2.compress(x))
+        np.testing.assert_allclose(z_pl, z_xla, atol=1e-5)
+
+    def test_auto_keeps_xla_in_training(self):
+        from neural_imaging_tpu.models import compression
+        dcn = compression.TwitterDCN(patch_size=32, n_features=4)
+        assert dcn.use_pallas_quantization == 'auto'
+        assert not dcn._use_pallas(inference=False)
