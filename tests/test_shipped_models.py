@@ -33,6 +33,13 @@ def test_shipped_nip_restores_and_develops(dirname, model_name):
     assert rgb.shape == (1, 64, 64, 3)
     assert np.all(np.isfinite(rgb)) and rgb.min() >= 0 and rgb.max() <= 1
 
+    # the shipped checkpoints must keep their documented quality (the UNet is
+    # the converged 37.6 dB round-3 run, docs/quality_runs.md)
+    log = json.load(open(os.path.join(path, 'progress.json')))
+    psnr = log['performance']['psnr']['validation'][-1]
+    assert psnr >= (37.0 if model_name == 'UNet' else 36.0), \
+        f'shipped {model_name} regressed to {psnr:.2f} dB'
+
 
 @pytest.mark.parametrize('run_dir', [
     'data/m_quality/QualityRef/INet/fixed-nip/fixed-codec/000',
