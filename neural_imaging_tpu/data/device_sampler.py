@@ -58,25 +58,38 @@ class DeviceSampler:
             raise ValueError(f'Images ({self.H}x{self.W}) smaller than the '
                              f'requested patch ({rgb_patch_size})')
         self._key = jax.random.PRNGKey(seed)
-        # pure (un-jitted) sampling fn — composable into larger jitted programs
-        # (e.g. a lax.scan over training steps with in-graph sampling)
-        self.pure_sample = self._build()
-        self._sample = jax.jit(self.pure_sample)
+        # pure (un-jitted) sampling fns — composable into larger jitted
+        # programs (e.g. a lax.scan over training steps with in-graph
+        # sampling). ``pure_sample_data(key, X, Y)`` takes the image tensors
+        # as TRACED ARGUMENTS so host programs can cache compiled scans by
+        # :meth:`signature` and swap datasets without retracing (and the data
+        # is never baked into an executable as a constant).
+        self.pure_sample_data = self._build()
+        self.data_args = (self._X, self._Y)
+        self.pure_sample = lambda key: self.pure_sample_data(key, *self.data_args)
+        self._sample = jax.jit(self.pure_sample_data)
+
+    def signature(self):
+        """Structural identity for compiled-program caching: two samplers with
+        equal signatures trace to identical programs (data enters as traced
+        arguments of matching shape/dtype)."""
+        return (self.batch_size, self.rgb_patch_size, self.discard,
+                self.oversample, self._loaded, self.n_images, self.H, self.W)
 
     def _build(self):
         B, M = self.batch_size, self.batch_size * self.oversample
         P, R = self.rgb_patch_size, self.raw_patch_size
         H, W, N = self.H, self.W, self.n_images
-        X, Y = self._X, self._Y
         discard = self.discard
+        has_x, has_y = self._X is not None, self._Y is not None
 
-        def slice_rgb(idx, y0, x0):
-            return jax.lax.dynamic_slice(Y, (idx, y0, x0, 0), (1, P, P, 3))[0]
+        def sample(key, X, Y):
+            def slice_rgb(idx, y0, x0):
+                return jax.lax.dynamic_slice(Y, (idx, y0, x0, 0), (1, P, P, 3))[0]
 
-        def slice_raw(idx, ry, rx):
-            return jax.lax.dynamic_slice(X, (idx, ry, rx, 0), (1, R, R, 4))[0]
+            def slice_raw(idx, ry, rx):
+                return jax.lax.dynamic_slice(X, (idx, ry, rx, 0), (1, R, R, 4))[0]
 
-        def sample(key):
             k_i, k_y, k_x, k_u = jax.random.split(key, 4)
             idx = jax.random.randint(k_i, (M,), 0, N)
             # even coordinates keep the half-res RAW patch Bayer-aligned
@@ -91,7 +104,7 @@ class DeviceSampler:
                 _, keep = jax.lax.top_k(score, B)
                 idx, yy, xx = idx[keep], yy[keep], xx[keep]
                 rgb = rgb[keep]
-            elif Y is not None:
+            elif has_y:
                 rgb = jax.vmap(slice_rgb)(idx[:B], yy[:B], xx[:B])
                 idx, yy, xx = idx[:B], yy[:B], xx[:B]
             else:
@@ -99,7 +112,7 @@ class DeviceSampler:
                 rgb = None
 
             raw = (jax.vmap(slice_raw)(idx, yy // 2, xx // 2)
-                   if X is not None else None)
+                   if has_x else None)
             return raw, rgb
 
         return sample
@@ -107,7 +120,8 @@ class DeviceSampler:
     def __call__(self, step):
         """Batch for a training step: ('xy' → (raw, rgb); 'x' → raw; 'y' → rgb),
         uint16/uint8 device arrays. Deterministic in (seed, step)."""
-        raw, rgb = self._sample(jax.random.fold_in(self._key, step))
+        raw, rgb = self._sample(jax.random.fold_in(self._key, step),
+                                *self.data_args)
         if self._loaded == 'xy':
             return raw, rgb
         return rgb if self._loaded == 'y' else raw

@@ -260,10 +260,10 @@ class DCN(TPUModel):
         if not hasattr(self, '_scan_jits'):
             self._scan_jits = {}
             self._scan_key = jax.random.PRNGKey(29)
-        cache_key = (n_steps, id(sampler),
+        cache_key = (n_steps, sampler.signature(),
                      probs['flip_h'], probs['flip_v'], probs['gamma'])
         if cache_key not in self._scan_jits:
-            sample = sampler.pure_sample
+            sample = sampler.pure_sample_data
 
             def augment(x, key):
                 k_h, k_v, k_g, k_gv = jax.random.split(key, 4)
@@ -276,11 +276,11 @@ class DCN(TPUModel):
                 x_g = jnp.clip(jnp.power(x, 1.0 / gamma), 0.0, 1.0)
                 return jnp.where(jax.random.uniform(k_g) < probs['gamma'], x_g, x)
 
-            def scan_fn(params, opt_state, key, lr):
+            def scan_fn(params, opt_state, key, data_args, lr):
                 def body(carry, _):
                     params, opt_state, key = carry
                     key, k_s, k_a = jax.random.split(key, 3)
-                    _, rgb = sample(k_s)
+                    _, rgb = sample(k_s, *data_args)
                     x = augment(ops.normalize_batch(rgb), k_a)
                     params, opt_state, loss, ssim, entropy = \
                         self._train_step_math(params, opt_state, x, lr)
@@ -294,7 +294,7 @@ class DCN(TPUModel):
         lr = jnp.float32(1e-4 if learning_rate is None else learning_rate)
         self.params, self.opt_state, self._scan_key, (losses, ssims, entropies) = \
             self._scan_jits[cache_key](self.params, self.opt_state,
-                                       self._scan_key, lr)
+                                       self._scan_key, sampler.data_args, lr)
         return {'loss': losses, 'ssim': ssims, 'entropy': entropies}
 
     # -- stats / docs ------------------------------------------------------------------

@@ -328,16 +328,16 @@ class NIPModel(TPUModel):
         if not hasattr(self, '_scan_jits'):
             self._scan_jits = {}
             self._scan_key = jax.random.PRNGKey(17)
-        cache_key = (n_steps, id(sampler))
+        cache_key = (n_steps, sampler.signature())
         if cache_key not in self._scan_jits:
-            sample = sampler.pure_sample
+            sample = sampler.pure_sample_data
             from neural_imaging_tpu.ops import ops as _ops
 
-            def scan_fn(params, opt_state, key, lr):
+            def scan_fn(params, opt_state, key, data_args, lr):
                 def body(carry, _):
                     params, opt_state, key = carry
                     key, k_s = jax.random.split(key)
-                    raw, rgb = sample(k_s)
+                    raw, rgb = sample(k_s, *data_args)
                     bx = _ops.normalize_batch(raw)
                     by = _ops.normalize_batch(rgb)
 
@@ -355,6 +355,7 @@ class NIPModel(TPUModel):
 
         self.params, self.opt_state, self._scan_key, losses = \
             self._scan_jits[cache_key](self.params, self.opt_state, self._scan_key,
+                                       sampler.data_args,
                                        jnp.float32(learning_rate))
         return losses
 

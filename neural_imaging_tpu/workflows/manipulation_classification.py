@@ -160,6 +160,32 @@ class ManipulationClassification:
         # assert_finite() at validation boundaries instead.
         self.nan_check = True
         self._finite_flags = []
+        # snapshot of the freshly-initialized state for reinitialize(). Deep
+        # COPIES, not refs: the jitted steps donate parameter buffers, and a
+        # donated buffer is invalidated even while other Python refs hold it.
+        self._initial_params = jax.tree.map(jnp.copy, self.params)
+        self._rng_seed = rng_seed
+
+    def reinitialize(self):
+        """Reset to the exact post-construction state WITHOUT rebuilding the
+        flow — params, optimizer state, PRNG streams and metric histories all
+        reset, while every compiled program in self._jitted is kept. This is
+        what makes λ/repetition sweeps cheap: one compile per graph shape for
+        the whole sweep instead of one per point (λ, lr and the batch are
+        traced arguments, so points share executables)."""
+        # copy again so the restored working set can be donated without
+        # touching the snapshot
+        self.params = jax.tree.map(jnp.copy, self._initial_params)
+        self.opt_state = self._tx.init(self._train_partition(self.params))
+        self._rng = np.random.default_rng(self._rng_seed)
+        self._key = jax.random.PRNGKey(self._rng_seed)
+        self._finite_flags = []
+        self._push_params_to_models()
+        for model in (self.fan, self.nip) + ((self.codec,) if hasattr(
+                self.codec, 'reset_performance_stats') else ()):
+            if model is not None:
+                model.init_optimizer()
+                model.reset_performance_stats()
 
     # ------------------------------------------------------------------ properties
 
@@ -471,16 +497,19 @@ class ManipulationClassification:
         Returns (losses, nip_losses) as length-``n_steps`` DEVICE arrays (no
         host sync); finite-flags accumulate for ``assert_finite``."""
         import optax
-        cache_key = ('scan', n_steps, augment, sampler is not None and id(sampler))
+        # structural cache key: sweep points / fresh samplers with the same
+        # geometry reuse the compiled scan (data enters as traced arguments)
+        cache_key = ('scan', n_steps, augment, sampler.signature())
         if cache_key not in self._jitted:
-            sample = sampler.pure_sample
+            sample = sampler.pure_sample_data
             loaded = sampler._loaded
 
-            def scan_fn(tparams, fparams, opt_state, key, l_nip, l_dcn, lr):
+            def scan_fn(tparams, fparams, opt_state, key, data_args,
+                        l_nip, l_dcn, lr):
                 def body(carry, _):
                     tparams, opt_state, key = carry
                     key, k_s, k_manip, k_q, k_str = jax.random.split(key, 5)
-                    raw, rgb = sample(k_s)
+                    raw, rgb = sample(k_s, *data_args)
                     if loaded == 'xy':
                         batch_x, batch_y = raw, rgb
                     elif loaded == 'y':
@@ -517,7 +546,7 @@ class ManipulationClassification:
         fparams = self._frozen_partition(self.params)
         tparams, self.opt_state, self._key, (losses, nip_losses, finite) = \
             self._jitted[cache_key](
-                tparams, fparams, self.opt_state, self._key,
+                tparams, fparams, self.opt_state, self._key, sampler.data_args,
                 jnp.float32(lambda_nip), jnp.float32(lambda_dcn),
                 jnp.float32(learning_rate))
         self._finite_flags.append(finite)

@@ -255,3 +255,71 @@ class TestScannedDeviceDataTraining:
         for key in ('loss', 'ssim', 'entropy'):
             arr = np.asarray(out[key])
             assert arr.shape == (6,) and np.isfinite(arr).all()
+
+
+class TestSweepCompileReuse:
+    """λ/repetition sweeps reuse compiled programs across points: structural
+    sampler signatures (data as traced args) + flow.reinitialize()."""
+
+    def test_sampler_signature_is_structural(self, data):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        a = DeviceSampler(data, batch_size=2, rgb_patch_size=32, seed=1)
+        b = DeviceSampler(data, batch_size=2, rgb_patch_size=32, seed=99)
+        assert a.signature() == b.signature()  # seed is not structural
+        c = DeviceSampler(data, batch_size=4, rgb_patch_size=32, seed=1)
+        assert a.signature() != c.signature()
+
+    def test_workflow_reinitialize_repeats_trajectory_without_recompiles(self, data):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        from neural_imaging_tpu.workflows import ManipulationClassification
+
+        flow = ManipulationClassification(
+            'INet', manipulations=['sharpen:1'],
+            distribution={'downsampling': 'none', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0},
+            trainable={'nip'}, raw_patch_size=16, rng_seed=3)
+        sampler = DeviceSampler(data, batch_size=2, rgb_patch_size=32, seed=5)
+        first, _ = flow.training_scan(sampler, 5, lambda_nip=0.1,
+                                      learning_rate=1e-4)
+        first = np.asarray(first)
+        n_compiled = len(flow._jitted)
+
+        # second sweep point: fresh sampler object, same geometry
+        flow.reinitialize()
+        sampler2 = DeviceSampler(data, batch_size=2, rgb_patch_size=32, seed=5)
+        second, _ = flow.training_scan(sampler2, 5, lambda_nip=0.1,
+                                       learning_rate=1e-4)
+        np.testing.assert_array_equal(first, np.asarray(second))
+        assert len(flow._jitted) == n_compiled  # no new executables
+
+        # a different λ at the SAME executable (λ is a traced argument)
+        flow.reinitialize()
+        third, _ = flow.training_scan(sampler2, 5, lambda_nip=0.3,
+                                      learning_rate=1e-4)
+        assert len(flow._jitted) == n_compiled
+        assert not np.array_equal(first, np.asarray(third))
+        flow.assert_finite()
+
+    def test_nip_scan_cache_shared_across_samplers(self, data):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        from neural_imaging_tpu.models import pipelines
+
+        m = pipelines.INet(patch_size=8)
+        s1 = DeviceSampler(data, batch_size=2, rgb_patch_size=16, seed=3)
+        s2 = DeviceSampler(data, batch_size=2, rgb_patch_size=16, seed=4)
+        m.training_scan(s1, 4, 1e-3)
+        m.training_scan(s2, 4, 1e-3)
+        assert len(m._scan_jits) == 1
+
+    def test_dcn_scan_cache_shared_across_samplers(self, data_dir):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        from neural_imaging_tpu.models.compression import TwitterDCN
+
+        data = Dataset(data_dir, load='y', n_images=4, v_images=2,
+                       val_rgb_patch_size=32, val_n_patches=1, randomize=9)
+        dcn = TwitterDCN(patch_size=32, n_features=4)
+        s1 = DeviceSampler(data, batch_size=2, rgb_patch_size=32, seed=1)
+        s2 = DeviceSampler(data, batch_size=2, rgb_patch_size=32, seed=2)
+        dcn.training_scan(s1, 3, 1e-3)
+        dcn.training_scan(s2, 3, 1e-3)
+        assert len(dcn._scan_jits) == 1

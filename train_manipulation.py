@@ -114,13 +114,19 @@ def main():
                      v_images=v_images, val_rgb_patch_size=2 * args.patch,
                      val_n_patches=val_n_patches)
 
+      flow = None
       for run, ln, lc in itertools.product(range(args.start, args.end), ln_sweep, lc_sweep):
         print(f'\n# {cam} run {run}: λ_nip={ln} λ_dcn={lc} trainable={sorted(trainable)}')
-        flow = ManipulationClassification(
-            args.nip, manipulations=manipulations, distribution=distribution,
-            fan_args=fan_args, trainable=trainable, raw_patch_size=args.patch,
-            loss_metric=args.loss_metric, channel_dtype=args.channel_dtype,
-            nip_args=nip_params)
+        if flow is None:
+            flow = ManipulationClassification(
+                args.nip, manipulations=manipulations, distribution=distribution,
+                fan_args=fan_args, trainable=trainable, raw_patch_size=args.patch,
+                loss_metric=args.loss_metric, channel_dtype=args.channel_dtype,
+                nip_args=nip_params)
+        else:
+            # sweep points share the flow's compiled programs (λ and lr are
+            # traced arguments); only the trainable state resets
+            flow.reinitialize()
 
         training = {
             'camera_name': cam,
