@@ -92,7 +92,74 @@ def bench_jpeg(sizes, batch):
     return rows
 
 
+CHAIN = (10, 510)  # two scan lengths for the chain_time slope — the 500-app
+# separation keeps the timing difference far above the tunnel's scalar-readback
+# jitter even for µs-scale kernels
+
+
+def _force(tree):
+    """Force TRUE completion by reading one scalar back to the host.
+    (`jax.block_until_ready` on the tunneled dev chip returns without waiting
+    for single dispatches — measured: a 200-deep scan with ≥500 ms of device
+    work "completes" in 30 µs under block_until_ready, 554 ms with a readback.)"""
+    import jax
+    leaf = jax.tree.leaves(tree)[0]
+    return float(leaf.ravel()[0])
+
+
+def chain_time(step_fn, z0, lengths=CHAIN):
+    """Seconds per application of ``step_fn`` (shape-preserving carry → carry),
+    measured as the slope between two jitted lax.scan chains of different
+    depths, each forced by a scalar readback. The slope cancels BOTH dispatch
+    and readback latency — on a tunneled chip either one alone can exceed the
+    compute being measured — leaving pure device time per application."""
+    import jax
+
+    def make(length):
+        @jax.jit
+        def run(z):
+            out, _ = jax.lax.scan(lambda c, _: (step_fn(c), None), z, None,
+                                  length=length)
+            return out
+        return run
+
+    l1, l2 = lengths
+    run1 = make(l1)
+    _force(run1(z0))  # compile
+    # escalate the chain separation until the timing difference is comfortably
+    # above readback jitter (>= 50 ms), so even sub-µs kernels measure cleanly
+    while True:
+        run2 = make(l2)
+        _force(run2(z0))
+        best1 = best2 = float('inf')
+        for _ in range(max(REPEATS, 4)):
+            t0 = time.perf_counter()
+            _force(run1(z0))
+            best1 = min(best1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _force(run2(z0))
+            best2 = min(best2, time.perf_counter() - t0)
+        diff = best2 - best1
+        if diff >= 0.05 or l2 - l1 >= 64000:
+            break
+        scale = min(max(0.05 / max(diff, 1e-4), 2.0), 16.0)
+        l2 = l1 + int((l2 - l1) * scale)
+    return max(diff, 1e-9) / (l2 - l1)
+
+
 def bench_codebook(sizes, features, bpf=5):
+    """Two variants, benched separately because they take different VJPs:
+
+    - fixed codebook (DCN default, train_codebook=False): codebook is a static
+      constant; the Pallas path pairs the streaming forward with the fused
+      streaming backward kernel (no (N, L) tensor in either direction);
+    - trainable codebook: codebook is a traced input; the Pallas backward is an
+      exact XLA recompute of the reference composition.
+
+    Each cell is measured with chain_time (a 50-deep scan in one dispatch):
+    these ops are µs-scale on-device, so per-call dispatch timing over the
+    tunneled chip measures noise, not the kernel.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,43 +167,65 @@ def bench_codebook(sizes, features, bpf=5):
     from neural_imaging_tpu.ops import quantization as quant
     from neural_imaging_tpu.ops.pallas.codebook import quantize_with_entropy_pallas
 
-    codebook = jnp.asarray(quant.default_codebook(bpf))
+    cb_np = quant.default_codebook(bpf)  # static value for the fixed paths
+    codebook = jnp.asarray(cb_np)
     rows = []
 
-    def loss_xla(z, cb):
-        q, h, _ = quant.quantize_with_entropy(z, cb, 'soft-codebook')
-        return jnp.sum(q) + h
+    # shape-preserving steps: forward chains q (+0.3 to keep inputs off-codeword,
+    # so every link does full soft-assignment work); grad chains an SGD-like
+    # update of z through value_and_grad
+    def fixed_fwd(fn):
+        return lambda z: fn(z)[0] + 0.3
 
-    def loss_pl(z, cb):
-        q, h, _ = quantize_with_entropy_pallas(z, cb, trainable=True)
-        return jnp.sum(q) + h
+    def fixed_grad(fn):
+        def loss(z):
+            q, h, _ = fn(z)
+            return jnp.sum(q ** 2) * 1e-3 + h
+        g = jax.grad(loss)
+        return lambda z: z - 0.1 * g(z)
 
-    fwd_xla = jax.jit(lambda z, cb: quant.quantize_with_entropy(z, cb, 'soft-codebook')[0])
-    fwd_pl = jax.jit(lambda z, cb: quantize_with_entropy_pallas(z, cb, trainable=True)[0])
-    grad_xla = jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1)))
-    grad_pl = jax.jit(jax.value_and_grad(loss_pl, argnums=(0, 1)))
+    def train_fwd(fn):
+        return lambda zc: (fn(zc[0], zc[1])[0] + 0.3, zc[1])
+
+    def train_grad(fn):
+        def loss(z, cb):
+            q, h, _ = fn(z, cb)
+            return jnp.sum(q ** 2) * 1e-3 + h
+        g = jax.grad(loss, argnums=(0, 1))
+        def step(zc):
+            z, cb = zc
+            gz, gcb = g(z, cb)
+            return z - 0.1 * gz, cb - 1e-4 * gcb
+        return step
+
+    xla_fixed = lambda z: quant.quantize_with_entropy(z, cb_np, 'soft-codebook')
+    pl_fixed = lambda z: quantize_with_entropy_pallas(z, cb_np, trainable=False)
+    xla_train = lambda z, cb: quant.quantize_with_entropy(z, cb, 'soft-codebook')
+    pl_train = lambda z, cb: quantize_with_entropy_pallas(z, cb, trainable=True)
 
     rng = np.random.default_rng(0)
     for s in sizes:
         z = jnp.asarray(4 * rng.standard_normal((1, s, s, features)), jnp.float32)
         mv = s * s * features / 1e6  # millions of latent values
-        row = {'kernel': 'codebook', 'latent': f'{s}x{s}x{features}'}
-        for tag, xla_fn, pl_fn in (('fwd', fwd_xla, fwd_pl),
-                                   ('grad', grad_xla, grad_pl)):
-            t_x = best_time(xla_fn, z, codebook)
-            t_p = best_time(pl_fn, z, codebook)
-            row[f'{tag}_xla_mvps'] = round(mv / t_x, 1)
-            row[f'{tag}_pallas_mvps'] = round(mv / t_p, 1)
-            row[f'{tag}_speedup'] = round(t_x / t_p, 3)
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+        for name, wrap_fwd, wrap_grad, xla_fn, pl_fn, z0 in (
+                ('codebook-fixed', fixed_fwd, fixed_grad, xla_fixed, pl_fixed, z),
+                ('codebook-train', train_fwd, train_grad, xla_train, pl_train,
+                 (z, codebook))):
+            row = {'kernel': name, 'latent': f'{s}x{s}x{features}'}
+            for tag, wrap in (('fwd', wrap_fwd), ('grad', wrap_grad)):
+                t_x = chain_time(wrap(xla_fn), z0)
+                t_p = chain_time(wrap(pl_fn), z0)
+                row[f'{tag}_xla_mvps'] = round(mv / t_x, 1)
+                row[f'{tag}_pallas_mvps'] = round(mv / t_p, 1)
+                row[f'{tag}_speedup'] = round(t_x / t_p, 3)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
     return rows
 
 
 def to_markdown(rows):
     lines = []
     jd = [r for r in rows if r['kernel'] == 'djpeg']
-    cb = [r for r in rows if r['kernel'] == 'codebook']
     if jd:
         lines += ['| image | fwd XLA MP/s | fwd Pallas MP/s | grad XLA MP/s | '
                   'grad Pallas MP/s | grad speedup (Pallas/XLA) |', '|' + '---|' * 6]
@@ -144,13 +233,16 @@ def to_markdown(rows):
             lines.append(f"| {r['batch']}x{r['size']}² | {r['fwd_xla_mps']} | "
                          f"{r['fwd_pallas_mps']} | {r['grad_xla_mps']} | "
                          f"{r['grad_pallas_mps']} | {r['grad_speedup']:.2f}x |")
-    if cb:
-        lines += ['', '| latent | fwd XLA MV/s | fwd Pallas MV/s | grad XLA MV/s | '
-                  'grad Pallas MV/s | grad speedup (Pallas/XLA) |', '|' + '---|' * 6]
-        for r in cb:
-            lines.append(f"| {r['latent']} | {r['fwd_xla_mvps']} | "
-                         f"{r['fwd_pallas_mvps']} | {r['grad_xla_mvps']} | "
-                         f"{r['grad_pallas_mvps']} | {r['grad_speedup']:.2f}x |")
+    for name in ('codebook-fixed', 'codebook-train'):
+        cb = [r for r in rows if r['kernel'] == name]
+        if cb:
+            lines += ['', f'{name}:',
+                      '| latent | fwd XLA MV/s | fwd Pallas MV/s | grad XLA MV/s | '
+                      'grad Pallas MV/s | grad speedup (Pallas/XLA) |', '|' + '---|' * 6]
+            for r in cb:
+                lines.append(f"| {r['latent']} | {r['fwd_xla_mvps']} | "
+                             f"{r['fwd_pallas_mvps']} | {r['grad_xla_mvps']} | "
+                             f"{r['grad_pallas_mvps']} | {r['grad_speedup']:.2f}x |")
     return '\n'.join(lines)
 
 

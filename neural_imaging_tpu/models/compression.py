@@ -99,10 +99,13 @@ class DCN(TPUModel):
         self.patch_size = patch_size
         self.v, self.gamma = float(v), float(gamma)
         # Pallas quantization+entropy kernel policy (soft-codebook only), chosen
-        # by measurement (docs/benchmarks.md, TPU v5e): 'auto' (default) uses the
-        # fused kernel on the FORWARD-ONLY compress() path where it wins
-        # 1.15-2.0x, and keeps XLA in the training graph where the kernel's
-        # recompute-based VJP loses (0.62-1.02x). True/False force one path.
+        # by measurement (docs/benchmarks.md, TPU v5e): 'auto' (default) uses
+        # the fused kernels everywhere for FIXED codebooks — the streaming
+        # forward wins 2.2-5.2x and the fused streaming backward 1.0-3.0x
+        # (largest at the DCN's production latent sizes <=32^2) — and for
+        # TRAINABLE codebooks only on the forward-only compress() path, since
+        # that variant's backward is an XLA recompute that loses 0.74-0.95x in
+        # training. True/False force one path.
         self.use_pallas_quantization = kwargs.pop('use_pallas_quantization', 'auto')
 
         self.construct_model(**kwargs)
@@ -151,7 +154,9 @@ class DCN(TPUModel):
                 on_tpu = jax.devices()[0].platform == 'tpu'
             except (IndexError, RuntimeError):
                 on_tpu = False
-            return inference and on_tpu
+            # fixed codebooks: fused fwd+bwd kernels win in training too;
+            # trainable codebooks: only the forward-only compress() path
+            return on_tpu and (inference or not self._h.train_codebook)
         return bool(self.use_pallas_quantization)
 
     def _quantize_latent(self, params, z, inference=False):

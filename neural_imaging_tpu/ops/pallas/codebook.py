@@ -15,8 +15,14 @@ The entropy of the *quantized* latent then follows exactly (not approximately) f
 the counts: weights evaluated at codeword positions form a fixed L×L matrix W_cc,
 so soft_histogram = (counts/N) @ W_cc — an O(L²) epilogue instead of O(N·L).
 
-A custom VJP reproduces the straight-through + entropy gradients with an XLA
-recompute (no N×L tensor ever hits HBM in the forward pass).
+Backward passes (custom VJP):
+
+- fixed codebook (the DCN default): a second fused streaming kernel computes
+  d(soft)/dz per tile with the same two-pass reduction structure — no (N, L)
+  tensor in the backward either, so training never materializes it at all;
+- trainable codebook: exact XLA recompute of the reference composition (the
+  codebook cotangent needs per-codeword reductions over N that XLA's scatter
+  fusion already handles well; this variant is off the default path).
 """
 import functools
 
@@ -47,9 +53,10 @@ def _kernel(z_ref, cb_ref, soft_ref, hard_ref, *, n_codes, v, gamma):
     neg_inf = jnp.float32(-1e30)
 
     def logw(c):
-        d = gamma * (z - c)
+        d = z - c
         if v <= 0:
-            return -d * d
+            return -gamma * d * d  # Gaussian, XLA convention (quantization.py:40)
+        d = gamma * d
         return -(v + 1.0) / 2.0 * jnp.log1p(d * d / v)
 
     # pass 1: max log-weight and argmax codeword
@@ -123,6 +130,100 @@ def _pallas_forward(z_flat, codebook, v, gamma, interpret):
     # weight work stays inside the kernel)
     counts = jnp.zeros((n_codes,), jnp.float32).at[hard_idx].add(1.0)
     return soft, hard_idx, counts
+
+
+def _bwd_kernel(z_ref, g_ref, cb_ref, pc_ref, dz_ref, *, n_codes, v, gamma,
+                inv_n):
+    """Streaming dz = (g + entropy_term) · d(soft)/dz for one tile.
+
+    With normalized weights w_k = w̃_k/s (softmax over log-weights):
+        d soft/dz = Σ_k c_k w_k (dlogw_k − Σ_j w_j dlogw_j)
+                  = (B − C·(A/s)) / s
+    where s = Σ w̃, A = Σ w̃·dlogw, B = Σ c·w̃·dlogw, C = Σ c·w̃ — four running
+    sums over codewords, so the (N, L) weight matrix never exists. The entropy
+    cotangent per element, per_codeword[argmax]/N, is accumulated in the same
+    loops via where(best == j, pc[j], 0) — no host-visible gather, and the
+    forward's hard assignment never round-trips through HBM.
+    """
+    z = z_ref[:]
+    neg_inf = jnp.float32(-1e30)
+
+    def logw_dlogw(c):
+        d = z - c
+        if v <= 0:
+            return -gamma * d * d, -2.0 * gamma * d
+        gd = gamma * d
+        t = gd * gd
+        return (-(v + 1.0) / 2.0 * jnp.log1p(t / v),
+                -(v + 1.0) * gamma * gd / (v + t))
+
+    # pass 1: stable-softmax max and the hard (argmax) assignment
+    def pass1(j, carry):
+        m, best = carry
+        lw, _ = logw_dlogw(cb_ref[0, j])
+        take = lw > m
+        return jnp.where(take, lw, m), jnp.where(take, j, best)
+
+    m0 = jnp.full(z.shape, neg_inf, dtype=jnp.float32)
+    b0 = jnp.zeros(z.shape, dtype=jnp.int32)
+    m, best = jax.lax.fori_loop(0, n_codes, pass1, (m0, b0))
+
+    def pass2(j, carry):
+        s, a, b, csum, ent = carry
+        c = cb_ref[0, j]
+        lw, dlw = logw_dlogw(c)
+        w = jnp.exp(lw - m)
+        ent = ent + jnp.where(best == j, pc_ref[0, j], 0.0)
+        return s + w, a + w * dlw, b + c * (w * dlw), csum + c * w, ent
+
+    zero = jnp.zeros(z.shape, dtype=jnp.float32)
+    s, a, b, csum, ent = jax.lax.fori_loop(
+        0, n_codes, pass2, (zero, zero, zero, zero, zero))
+
+    dz_ref[:] = (g_ref[:] + ent * inv_n) * ((b - csum * (a / s)) / s)
+
+
+def _pallas_backward(z_flat, g_flat, per_codeword, codebook, v, gamma, interpret):
+    """dz = (g + per_codeword[argmax]/N) · d(soft)/dz, streaming (fixed
+    concrete codebook). ``per_codeword`` is the L-vector of entropy cotangents
+    at codeword positions (dw_cc @ g_hist_total)."""
+    n = z_flat.shape[0]
+    cb = np.asarray(codebook, np.float32).reshape(-1)
+    n_codes = cb.shape[0]
+    padded = int(np.ceil(n / TILE)) * TILE
+    if padded > n:
+        z_flat = jnp.concatenate(
+            [z_flat, jnp.full((padded - n,), cb[0], jnp.float32)])
+        g_flat = jnp.concatenate([g_flat, jnp.zeros((padded - n,), jnp.float32)])
+    z2 = z_flat.reshape(-1, LANE)
+    g2 = g_flat.reshape(-1, LANE)
+    rows = z2.shape[0]
+
+    cb_lane = int(np.ceil(n_codes / LANE)) * LANE
+    cb2 = np.concatenate([cb, np.full((cb_lane - n_codes,), cb[0], np.float32)]) \
+        .reshape(1, -1) if cb_lane > n_codes else cb.reshape(1, -1)
+    pc2 = jnp.concatenate(
+        [per_codeword.astype(jnp.float32),
+         jnp.zeros((cb_lane - n_codes,), jnp.float32)]).reshape(1, -1) \
+        if cb_lane > n_codes else per_codeword.astype(jnp.float32).reshape(1, -1)
+
+    kernel = functools.partial(_bwd_kernel, n_codes=n_codes, v=float(v),
+                               gamma=float(gamma), inv_n=1.0 / n)
+    dz = pl.pallas_call(
+        kernel,
+        grid=(rows // SUBLANES,),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb_lane), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cb_lane), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+        interpret=interpret,
+    )(z2, g2, jnp.asarray(cb2), pc2)
+    return dz.reshape(-1)[:n]
 
 
 def _codeword_weight_matrix(codebook, v, gamma):
@@ -222,7 +323,7 @@ def _fwd_impl(z, codebook, v, gamma, interpret):
     histogram = jnp.clip(histogram, 1e-9, None)
     histogram = histogram / jnp.sum(histogram)
     entropy = -jnp.sum(histogram * jnp.log(histogram)) / quant.LN2
-    return q, entropy, histogram, (z, hard_idx, histogram)
+    return q, entropy, histogram, (z, histogram)
 
 
 def _fwd(z, codebook, v, gamma, interpret):
@@ -231,25 +332,11 @@ def _fwd(z, codebook, v, gamma, interpret):
 
 
 def _bwd(codebook, v, gamma, interpret, residuals, cotangents):
-    z, hard_idx, histogram = residuals
+    z, histogram = residuals
     cb = jnp.asarray(codebook, jnp.float32)
     g_q, g_h, g_hist = cotangents
 
     z_flat = z.reshape(-1).astype(jnp.float32)
-    n = z_flat.shape[0]
-
-    # recompute softmax weights (XLA, fused; backward only)
-    w = quant.codebook_weights(z_flat, cb, v, gamma)          # (N, L)
-
-    # d soft / d z: Σ_k c_k w_k (dlogw_k - Σ_j w_j dlogw_j)
-    d = z_flat[:, None] - cb[None, :]
-    if v <= 0:
-        dlogw = -2.0 * gamma * d
-    else:
-        gd = gamma * d
-        dlogw = -(v + 1.0) * gamma * gd / (v + gd * gd)
-    mean_dlogw = jnp.sum(w * dlogw, axis=-1, keepdims=True)
-    dsoft_dz = jnp.sum(cb[None, :] * w * (dlogw - mean_dlogw), axis=-1)
 
     # entropy gradient path: dH/dhist, dhist/dq at codeword positions
     # H = -Σ p log2 p with p = hist (already clipped/normalized; treat the
@@ -270,9 +357,13 @@ def _bwd(codebook, v, gamma, interpret, residuals, cotangents):
     dw_cc = w_cc * (dlogw_cc - mean_cc)                        # (L_at, L_k)
 
     per_codeword = dw_cc @ g_hist_total                        # (L_at,)
-    entropy_term = per_codeword[hard_idx] / n                  # (N,)
 
-    dz = (g_q.reshape(-1) + entropy_term) * dsoft_dz
+    # everything O(N) — the d soft/dz reduction AND the per-element entropy
+    # cotangent lookup — streams through the fused kernel; like the forward,
+    # the backward never materializes an (N, L) tensor
+    dz = _pallas_backward(z_flat, g_q.reshape(-1).astype(jnp.float32),
+                          per_codeword, np.asarray(codebook, np.float32),
+                          v, gamma, interpret)
     return (dz.reshape(z.shape),)
 
 

@@ -58,6 +58,25 @@ class TestCodebookKernel:
         assert abs(float(h_p) - float(h_r)) < 1e-5
 
     @pytest.mark.parametrize('v,gamma', [(50.0, 25.0), (0.0, 5.0)])
+    def test_gradient_parity_unaligned(self, v, gamma):
+        """The fused streaming backward (fixed codebook): both kernel variants,
+        at a non-tile-aligned size so the zero-padded gradient slots are
+        exercised."""
+        rng = np.random.default_rng(7)
+        cb = quant.default_codebook(4)
+        z = jnp.asarray(rng.standard_normal(777).astype(np.float32) * 4)
+
+        def loss(fn):
+            return lambda x: (lambda q, h, _: 0.01 * jnp.sum(q ** 3) + 5.0 * h)(
+                *fn(x, cb, v, gamma))
+
+        g_p = jax.grad(loss(cbk.quantize_with_entropy_pallas))(z)
+        g_r = jax.grad(lambda x: loss(
+            lambda xx, cc, vv, gg: quant.quantize_with_entropy(
+                xx, cc, 'soft-codebook', vv, gg))(x))(z)
+        assert np.abs(np.asarray(g_p - g_r)).max() < 1e-4
+
+    @pytest.mark.parametrize('v,gamma', [(50.0, 25.0), (0.0, 5.0)])
     def test_trainable_codebook_parity(self, data, v, gamma):
         """Trainable-codebook variant: forward parity and exact gradient parity
         (both z and codebook) with the XLA path (ref models/layers.py:113-116)."""
@@ -163,8 +182,21 @@ class TestInferenceAutoSelection:
         z_pl = np.asarray(dcn2.compress(x))
         np.testing.assert_allclose(z_pl, z_xla, atol=1e-5)
 
-    def test_auto_keeps_xla_in_training(self):
+    def test_auto_policy(self, monkeypatch):
+        """'auto' (measured, docs/benchmarks.md): on TPU, Pallas everywhere for
+        fixed codebooks but only on the inference path for trainable ones; on
+        CPU always XLA."""
         from neural_imaging_tpu.models import compression
         dcn = compression.TwitterDCN(patch_size=32, n_features=4)
         assert dcn.use_pallas_quantization == 'auto'
-        assert not dcn._use_pallas(inference=False)
+        assert not dcn._use_pallas(inference=False)  # CPU -> XLA
+
+        class FakeTPU:
+            platform = 'tpu'
+        monkeypatch.setattr(jax, 'devices', lambda: [FakeTPU()])
+        assert dcn._use_pallas(inference=False)
+        assert dcn._use_pallas(inference=True)
+        dcn_t = compression.TwitterDCN(patch_size=32, n_features=4,
+                                       train_codebook=True)
+        assert not dcn_t._use_pallas(inference=False)
+        assert dcn_t._use_pallas(inference=True)
