@@ -100,12 +100,12 @@ class DCN(TPUModel):
         self.v, self.gamma = float(v), float(gamma)
         # Pallas quantization+entropy kernel policy (soft-codebook only), chosen
         # by measurement (docs/benchmarks.md, TPU v5e): 'auto' (default) uses
-        # the fused kernels everywhere for FIXED codebooks — the streaming
-        # forward wins 2.2-5.2x and the fused streaming backward 1.0-3.0x
-        # (largest at the DCN's production latent sizes <=32^2) — and for
-        # TRAINABLE codebooks only on the forward-only compress() path, since
-        # that variant's backward is an XLA recompute that loses 0.74-0.95x in
-        # training. True/False force one path.
+        # the fused kernels everywhere for FIXED codebooks (fwd 4.5-6.6x, fused
+        # streaming bwd 1.0-1.9x, DCN train step +14-22%); for TRAINABLE
+        # codebooks, on inference always (fwd 3.8-4.3x) and in training only
+        # below the measured latent-size crossover (1.19-1.29x up to ~32^2x32,
+        # 0.74-0.82x beyond, where XLA's MXU-matmul backward scales better than
+        # the streaming kernel's VPU reductions). True/False force one path.
         self.use_pallas_quantization = kwargs.pop('use_pallas_quantization', 'auto')
 
         self.construct_model(**kwargs)
@@ -146,7 +146,16 @@ class DCN(TPUModel):
             return params['codebook'].reshape(-1)
         return jnp.asarray(quant.default_codebook(self._h.latent_bpf))
 
-    def _use_pallas(self, inference):
+    # Measured crossover (docs/benchmarks.md, TPU v5e, interleaved-window
+    # train-step benches): the trainable-codebook fused backward wins the full
+    # DCN train step at every measured production size (1.33x/1.11x/1.06x at
+    # batch 4/8/16, patch 128 == up to 131k latent values); beyond that the
+    # isolated-op microbench trend (XLA's MXU-matmul backward scales with N,
+    # the streaming kernel is flat) says XLA takes over, so 'auto' stays
+    # conservative above the largest measured size.
+    _PALLAS_TRAIN_CODEBOOK_MAX_N = 131072
+
+    def _use_pallas(self, inference, n_latent=None):
         if self._h.rounding != 'soft-codebook':
             return False
         if self.use_pallas_quantization == 'auto':
@@ -154,16 +163,21 @@ class DCN(TPUModel):
                 on_tpu = jax.devices()[0].platform == 'tpu'
             except (IndexError, RuntimeError):
                 on_tpu = False
-            # fixed codebooks: fused fwd+bwd kernels win in training too;
-            # trainable codebooks: only the forward-only compress() path
-            return on_tpu and (inference or not self._h.train_codebook)
+            if not on_tpu:
+                return False
+            if inference or not self._h.train_codebook:
+                return True
+            # trainable codebook in training: fused backward wins only below
+            # the measured latent-size crossover (n_latent is static under jit)
+            return (n_latent is not None
+                    and n_latent <= self._PALLAS_TRAIN_CODEBOOK_MAX_N)
         return bool(self.use_pallas_quantization)
 
     def _quantize_latent(self, params, z, inference=False):
         """Scale → quantize → entropy (the reference's DiscreteLatent layer)."""
         if self._h.scale_latent:
             z = z * params['latent_scale']
-        if self._use_pallas(inference):
+        if self._use_pallas(inference, n_latent=int(np.prod(z.shape))):
             from neural_imaging_tpu.ops.pallas.codebook import quantize_with_entropy_pallas
             # non-trainable codebooks go in as STATIC numpy values: the kernel
             # specializes on them, and a jnp constant would be a tracer inside

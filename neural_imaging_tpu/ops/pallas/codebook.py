@@ -20,9 +20,11 @@ Backward passes (custom VJP):
 - fixed codebook (the DCN default): a second fused streaming kernel computes
   d(soft)/dz per tile with the same two-pass reduction structure — no (N, L)
   tensor in the backward either, so training never materializes it at all;
-- trainable codebook: exact XLA recompute of the reference composition (the
-  codebook cotangent needs per-codeword reductions over N that XLA's scatter
-  fusion already handles well; this variant is off the default path).
+- trainable codebook: a third streaming kernel additionally accumulates the
+  codebook cotangent dcb_j = Σ_n gₙ·w_nj·(1 − dlogw_nj·(c_j − softₙ)) as an
+  (1, L) output revisited across the sequential TPU grid (padding slots masked
+  by a global-index iota), plus an exact O(L²) XLA epilogue for the explicit
+  entropy path through W_cc(cb).
 """
 import functools
 
@@ -226,6 +228,131 @@ def _pallas_backward(z_flat, g_flat, per_codeword, codebook, v, gamma, interpret
     return dz.reshape(-1)[:n]
 
 
+def _bwd_train_kernel(z_ref, g_ref, cb_ref, pc_ref, dz_ref, dcb_ref, *,
+                      n_codes, v, gamma, inv_n, n_valid):
+    """Trainable-codebook tile: the fixed-path dz reduction PLUS the streaming
+    codebook cotangent
+
+        dcb_j += Σ_tile gₙ · w_nj · (1 − dlogw_nj · (c_j − softₙ))
+
+    accumulated into a (1, cb_lane) output block revisited across the
+    sequential grid. Padded slots (flat index ≥ n_valid) are masked out of the
+    dcb sums via a global-index iota; their dz lanes are garbage and sliced off
+    by the caller, exactly like the fixed path."""
+    i = pl.program_id(0)
+    z = z_ref[:]
+    neg_inf = jnp.float32(-1e30)
+
+    def logw_dlogw(c):
+        d = z - c
+        if v <= 0:
+            return -gamma * d * d, -2.0 * gamma * d
+        gd = gamma * d
+        t = gd * gd
+        return (-(v + 1.0) / 2.0 * jnp.log1p(t / v),
+                -(v + 1.0) * gamma * gd / (v + t))
+
+    def pass1(j, carry):
+        m, best = carry
+        lw, _ = logw_dlogw(cb_ref[0, j])
+        take = lw > m
+        return jnp.where(take, lw, m), jnp.where(take, j, best)
+
+    m0 = jnp.full(z.shape, neg_inf, dtype=jnp.float32)
+    b0 = jnp.zeros(z.shape, dtype=jnp.int32)
+    m, best = jax.lax.fori_loop(0, n_codes, pass1, (m0, b0))
+
+    def pass2(j, carry):
+        s, a, b, csum, ent = carry
+        c = cb_ref[0, j]
+        lw, dlw = logw_dlogw(c)
+        w = jnp.exp(lw - m)
+        ent = ent + jnp.where(best == j, pc_ref[0, j], 0.0)
+        return s + w, a + w * dlw, b + c * (w * dlw), csum + c * w, ent
+
+    zero = jnp.zeros(z.shape, dtype=jnp.float32)
+    s, a, b, csum, ent = jax.lax.fori_loop(
+        0, n_codes, pass2, (zero, zero, zero, zero, zero))
+
+    soft = csum / s
+    gn = g_ref[:] + ent * inv_n
+    dz_ref[:] = gn * ((b - csum * (a / s)) / s)
+
+    # validity mask: global flat index of each tile element
+    r = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    flat = (i * SUBLANES + r) * LANE + lane
+    gm = jnp.where(flat < n_valid, gn, 0.0)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, dcb_ref.shape, 1)
+
+    def pass3(j, dcb_row):
+        c = cb_ref[0, j]
+        lw, dlw = logw_dlogw(c)
+        w = jnp.exp(lw - m) / s
+        contrib = jnp.sum(gm * w * (1.0 - dlw * (c - soft)))
+        return dcb_row + jnp.where(lane_iota == j, contrib, 0.0)
+
+    dcb_row = jax.lax.fori_loop(
+        0, n_codes, pass3, jnp.zeros(dcb_ref.shape, dtype=jnp.float32))
+
+    @pl.when(i == 0)
+    def _():
+        dcb_ref[:] = jnp.zeros_like(dcb_ref)
+
+    dcb_ref[:] = dcb_ref[:] + dcb_row
+
+
+def _pallas_backward_trainable(z_flat, g_flat, per_codeword, codebook, v, gamma,
+                               interpret):
+    """(dz, dcb_stream): the streaming halves of the trainable-codebook VJP.
+    ``codebook`` is a traced (L,) value here; the explicit entropy path through
+    W_cc(cb) is added by the caller's XLA epilogue."""
+    n = z_flat.shape[0]
+    cb = jnp.asarray(codebook, jnp.float32).reshape(-1)
+    n_codes = cb.shape[0]
+    padded = int(np.ceil(n / TILE)) * TILE
+    if padded > n:
+        z_flat = jnp.concatenate(
+            [z_flat, jnp.full((padded - n,), cb[0], jnp.float32)])
+        g_flat = jnp.concatenate([g_flat, jnp.zeros((padded - n,), jnp.float32)])
+    z2 = z_flat.reshape(-1, LANE)
+    g2 = g_flat.reshape(-1, LANE)
+    rows = z2.shape[0]
+
+    cb_lane = int(np.ceil(n_codes / LANE)) * LANE
+    cb2 = jnp.concatenate([cb, jnp.full((cb_lane - n_codes,), cb[0], jnp.float32)]) \
+        .reshape(1, -1) if cb_lane > n_codes else cb.reshape(1, -1)
+    pc2 = jnp.concatenate(
+        [per_codeword.astype(jnp.float32),
+         jnp.zeros((cb_lane - n_codes,), jnp.float32)]).reshape(1, -1) \
+        if cb_lane > n_codes else per_codeword.astype(jnp.float32).reshape(1, -1)
+
+    kernel = functools.partial(_bwd_train_kernel, n_codes=n_codes, v=float(v),
+                               gamma=float(gamma), inv_n=1.0 / n, n_valid=n)
+    dz, dcb = pl.pallas_call(
+        kernel,
+        grid=(rows // SUBLANES,),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb_lane), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cb_lane), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb_lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((1, cb_lane), jnp.float32),
+        ],
+        interpret=interpret,
+    )(z2, g2, cb2, pc2)
+    return dz.reshape(-1)[:n], dcb.reshape(-1)[:n_codes]
+
+
 def _codeword_weight_matrix(codebook, v, gamma):
     """W_cc[i, j]: normalized kernel weight of codeword i against codeword j."""
     logw = quant.codebook_log_weights(jnp.asarray(codebook), jnp.asarray(codebook),
@@ -280,7 +407,7 @@ def _fwd_trainable_impl(z, codebook, v, gamma, interpret):
     histogram = jnp.clip(histogram, 1e-9, None)
     histogram = histogram / jnp.sum(histogram)
     entropy = -jnp.sum(histogram * jnp.log(histogram)) / quant.LN2
-    return q, entropy, histogram, (z, codebook)
+    return q, entropy, histogram, (z, codebook, counts)
 
 
 def _fwd_trainable(z, codebook, v, gamma, interpret):
@@ -289,15 +416,56 @@ def _fwd_trainable(z, codebook, v, gamma, interpret):
 
 
 def _bwd_trainable(v, gamma, interpret, residuals, cotangents):
-    z, codebook = residuals
-    # exact gradients of the reference composition (quantize -> entropy-of-q),
-    # recomputed in XLA for the backward only: the (N, L) weight matrix exists
-    # transiently here but never in the forward pass
-    _, vjp_fn = jax.vjp(
-        lambda zz, cb: quant.quantize_with_entropy(zz, cb, 'soft-codebook', v, gamma),
-        z, codebook)
-    dz, dcb = vjp_fn(cotangents)
-    return dz, dcb
+    """Analytic VJP of the reference composition (quantize → entropy-of-q),
+    streaming: dz and the Σ_n half of dcb come from the fused kernel; the
+    explicit entropy path through W_cc(cb) — an O(L²) term, numerically ~0 at
+    production γ where W_cc ≈ I and its diagonal dlogw vanishes — is an exact
+    XLA epilogue. Verified against jax.vjp of quantize_with_entropy
+    (tests/test_pallas.py::test_trainable_codebook_parity)."""
+    z, codebook, counts = residuals
+    cb = jnp.asarray(codebook, jnp.float32)
+    g_q, g_h, g_hist = cotangents
+    z_flat = z.reshape(-1).astype(jnp.float32)
+    n = z_flat.shape[0]
+    n_codes = cb.shape[0]
+
+    # recompute the O(L²) forward epilogue pieces
+    logw_cc = quant.codebook_log_weights(cb, cb, v, gamma)
+    w_cc = jax.nn.softmax(logw_cc, axis=-1)
+    hist_raw = (counts / n) @ w_cc
+    hist = jnp.clip(hist_raw, 1e-9, None)
+    S = jnp.sum(hist)
+    p = hist / S
+
+    # exact entropy chain: H = -Σ p log p / ln2, p = hist/S, hist = clip(raw)
+    dH_dp = -(jnp.log(p) + 1.0) / quant.LN2
+    gp = g_h * dH_dp + g_hist                                   # into p
+    ghist = (gp / S - jnp.sum(gp * hist) / (S * S)) \
+        * (hist_raw > 1e-9)                                     # into raw hist
+
+    d_cc = cb[:, None] - cb[None, :]
+    if v <= 0:
+        dlogw_cc = -2.0 * gamma * d_cc
+    else:
+        gd_cc = gamma * d_cc
+        dlogw_cc = -(v + 1.0) * gamma * gd_cc / (v + gd_cc * gd_cc)
+    mean_cc = jnp.sum(w_cc * dlogw_cc, axis=-1, keepdims=True)
+    dw_cc = w_cc * (dlogw_cc - mean_cc)                         # (L_at, L_k)
+    per_codeword = dw_cc @ ghist                                # (L_at,)
+
+    # streaming halves: dz and Σ_n gₙ·∂softₙ/∂c_j
+    dz, dcb_stream = _pallas_backward_trainable(
+        z_flat, g_q.reshape(-1).astype(jnp.float32), per_codeword, cb,
+        v, gamma, interpret)
+
+    # explicit entropy path through the second argument of w(q, cb), at the
+    # codeword positions q takes in the forward:
+    #   T[a, j] = Σ_k ghist_k ∂w_k(c_a, cb)/∂c_j
+    #           = w_cc[a, j]·dlogw_cc[a, j]·((w_cc @ ghist)[a] − ghist[j])
+    wg = w_cc @ ghist
+    T = w_cc * dlogw_cc * (wg[:, None] - ghist[None, :])
+    dcb = dcb_stream + (counts / n) @ T
+    return dz.reshape(z.shape), dcb
 
 
 _quantize_with_entropy_trainable.defvjp(_fwd_trainable, _bwd_trainable)

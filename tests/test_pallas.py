@@ -78,8 +78,9 @@ class TestCodebookKernel:
 
     @pytest.mark.parametrize('v,gamma', [(50.0, 25.0), (0.0, 5.0)])
     def test_trainable_codebook_parity(self, data, v, gamma):
-        """Trainable-codebook variant: forward parity and exact gradient parity
-        (both z and codebook) with the XLA path (ref models/layers.py:113-116)."""
+        """Trainable-codebook variant: forward parity and analytic-VJP gradient
+        parity (both z and codebook — the fused streaming backward + W_cc
+        epilogue) with the XLA path (ref models/layers.py:113-116)."""
         z, cb0 = data
         cb = jnp.asarray(cb0) + 0.05  # off-integer so codebook gradients are nontrivial
 
@@ -178,14 +179,14 @@ class TestInferenceAutoSelection:
                                       train_codebook=train_codebook)
         dcn2.params = dcn.params
         monkeypatch.setattr(compression.DCN, '_use_pallas',
-                            lambda self, inference: inference)
+                            lambda self, inference, n_latent=None: inference)
         z_pl = np.asarray(dcn2.compress(x))
         np.testing.assert_allclose(z_pl, z_xla, atol=1e-5)
 
     def test_auto_policy(self, monkeypatch):
         """'auto' (measured, docs/benchmarks.md): on TPU, Pallas everywhere for
-        fixed codebooks but only on the inference path for trainable ones; on
-        CPU always XLA."""
+        fixed codebooks; for trainable codebooks on inference always and in
+        training only below the latent-size crossover; on CPU always XLA."""
         from neural_imaging_tpu.models import compression
         dcn = compression.TwitterDCN(patch_size=32, n_features=4)
         assert dcn.use_pallas_quantization == 'auto'
@@ -198,5 +199,8 @@ class TestInferenceAutoSelection:
         assert dcn._use_pallas(inference=True)
         dcn_t = compression.TwitterDCN(patch_size=32, n_features=4,
                                        train_codebook=True)
-        assert not dcn_t._use_pallas(inference=False)
         assert dcn_t._use_pallas(inference=True)
+        # training: fused backward wins up to the largest measured size
+        assert not dcn_t._use_pallas(inference=False)  # no size -> conservative
+        assert dcn_t._use_pallas(inference=False, n_latent=64 * 64 * 32)
+        assert not dcn_t._use_pallas(inference=False, n_latent=128 * 128 * 32)
