@@ -41,6 +41,36 @@ def test_shipped_nip_restores_and_develops(dirname, model_name):
         f'shipped {model_name} regressed to {psnr:.2f} dB'
 
 
+@pytest.mark.parametrize('preset, min_ssim', [
+    ('8c', 0.60), ('16c', 0.70), ('32c', 0.70), ('64c', 0.70),
+    ('lq', 0.70), ('mq', 0.70), ('hq', 0.70),
+])
+def test_shipped_dcn_baseline_restores_and_roundtrips(preset, min_ssim):
+    """Every preset in config/presets/compression.json (ref keeps 16c/32c/64c +
+    lq/mq/hq aliases) restores, keeps its documented validation quality, and
+    round-trips a real bitstream losslessly vs simulate_compression."""
+    from neural_imaging_tpu.compression import codec
+
+    with open(os.path.join(REPO, 'config/presets/compression.json')) as fh:
+        path = os.path.join(REPO, json.load(fh)[preset])
+    if not os.path.isdir(path):
+        pytest.skip(f'{preset} baseline not shipped in this checkout')
+
+    dcn = codec.restore(preset, patch_size=64)
+    log = json.load(open(os.path.join(path, 'twitterdcn', 'progress.json')))
+    ssim = log['codec']['performance']['ssim']['validation'][-1]
+    assert ssim >= min_ssim, f'shipped {preset} regressed to SSIM {ssim:.3f}'
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    blob = codec.compress(x, dcn)
+    decoded = np.asarray(codec.decompress(blob, dcn))
+    y, n_bytes = codec.simulate_compression(x, dcn)
+    assert n_bytes == len(blob)
+    np.testing.assert_array_equal(np.asarray(y), decoded)
+    assert np.all(np.isfinite(decoded))
+
+
 @pytest.mark.parametrize('run_dir', [
     'data/m_quality/QualityRef/INet/fixed-nip/fixed-codec/000',
     'data/m_quality_full/QualityRef/INet/fixed-nip/fixed-codec/000',
