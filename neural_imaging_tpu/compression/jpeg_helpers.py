@@ -114,6 +114,15 @@ def match_quality(image, target=0.95, match='ssim', subsampling='4:4:4'):
 
     low, high = 1, 95
     low_obj, high_obj = objective(low), objective(high)
+    if low_obj * high_obj > 0:
+        # target lies outside what QF 1-95 can reach on this image (e.g. an
+        # SSIM below JPEG's floor) — return the nearest achievable endpoint
+        from neural_imaging_tpu.utils.utils import logger
+        best = low if abs(low_obj) < abs(high_obj) else high
+        logger.warning(
+            f'match_quality: target {target} ({match}) outside the achievable '
+            f'range at QF {low}-{high}; clamping to QF {best}')
+        return best
     while high - low > 1:
         if low_obj * high_obj > 0:
             raise ValueError(f'Same deviation at both end-points {low} - {high}')

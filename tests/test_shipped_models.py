@@ -21,6 +21,7 @@ def _bayer(key, n=1, size=16):
 @pytest.mark.parametrize('dirname, model_name', [
     ('data/models/nip/QualityRef/INet_gbrg_5x5/inet', 'INet'),
     ('data/models/nip/QualityRef/UNet_5/unet', 'UNet'),
+    ('data/models/nip/QualityRef/DNet_3x3_15x64f/dnet', 'DNet'),
 ])
 def test_shipped_nip_restores_and_develops(dirname, model_name):
     from neural_imaging_tpu.models import base, pipelines
@@ -37,8 +38,8 @@ def test_shipped_nip_restores_and_develops(dirname, model_name):
     # the converged 37.6 dB round-3 run, docs/quality_runs.md)
     log = json.load(open(os.path.join(path, 'progress.json')))
     psnr = log['performance']['psnr']['validation'][-1]
-    assert psnr >= (37.0 if model_name == 'UNet' else 36.0), \
-        f'shipped {model_name} regressed to {psnr:.2f} dB'
+    floor = {'UNet': 37.0, 'INet': 36.0, 'DNet': 36.0}[model_name]
+    assert psnr >= floor, f'shipped {model_name} regressed to {psnr:.2f} dB'
 
 
 @pytest.mark.parametrize('preset, min_ssim', [
