@@ -22,6 +22,7 @@ def _bayer(key, n=1, size=16):
     ('data/models/nip/QualityRef/INet_gbrg_5x5/inet', 'INet'),
     ('data/models/nip/QualityRef/UNet_5/unet', 'UNet'),
     ('data/models/nip/QualityRef/DNet_3x3_15x64f/dnet', 'DNet'),
+    ('data/models/nip/QualityRef/ClassicISP_gbrg_5x5_-3R/classicisp', 'ClassicISP'),
 ])
 def test_shipped_nip_restores_and_develops(dirname, model_name):
     from neural_imaging_tpu.models import base, pipelines
@@ -38,7 +39,7 @@ def test_shipped_nip_restores_and_develops(dirname, model_name):
     # the converged 37.6 dB round-3 run, docs/quality_runs.md)
     log = json.load(open(os.path.join(path, 'progress.json')))
     psnr = log['performance']['psnr']['validation'][-1]
-    floor = {'UNet': 37.0, 'INet': 36.0, 'DNet': 36.0}[model_name]
+    floor = {'UNet': 37.0, 'INet': 36.0, 'DNet': 36.0, 'ClassicISP': 33.5}[model_name]
     assert psnr >= floor, f'shipped {model_name} regressed to {psnr:.2f} dB'
 
 
