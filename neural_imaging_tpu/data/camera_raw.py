@@ -1,0 +1,499 @@
+"""
+Native camera-RAW container support: CR2, NEF and ARW without libRAW/rawpy.
+
+The reference ingests every camera format through rawkit/libRAW
+(ref helpers/raw.py:110-181); this build already reads DNGs natively
+(data/dng.py) and this module extends native coverage to the three most common
+vendor containers, all of which are TIFF variants:
+
+- **CR2** (Canon): TIFF with a ``CR\\x02\\x00`` marker at byte 8 and a direct
+  pointer to the raw IFD. The CFA payload is a single lossless-JPEG (SOF3)
+  stream — decoded by ``data/ljpeg.py`` — whose pixel stream is rearranged into
+  vertical *slices* described by tag 0xc640. As-shot white balance is read from
+  the Canon MakerNote ColorData block (tag 0x4001) when present.
+- **NEF** (Nikon): TIFF-EP with the raw image in a SubIFD
+  (Photometric=CFA). Uncompressed 12/14-bit NEFs pack samples as an MSB-first
+  bitstream; 16-bit containers are plain words. Nikon's proprietary
+  type-34713 entropy coding is *not* implemented — those files raise
+  :class:`UnsupportedRawError` with a convert-to-DNG hint (they fall through to
+  rawpy when it is installed).
+- **ARW** (Sony): TIFF-EP, uncompressed 12/14/16-bit raw SubIFD. Sony's
+  cRAW/compressed variants (Compression=32767) likewise raise
+  :class:`UnsupportedRawError`.
+
+Pixel decode is exact and covered by hermetic round-trip tests (each writer
+below produces spec-layout files the reader must invert, and the same mosaic
+written as a DNG must develop identically). Colorimetry caveat: unlike DNG,
+the vendor containers do not carry a standard color matrix — real-world
+pipelines (dcraw included) use built-in per-camera matrices. When a file has
+no usable color metadata the reader returns ``cam2srgb=I`` and unit WB; the
+framework's camera profiles (``config/cameras.json``, ClassicISP camera
+injection) are the supported way to attach colorimetry, matching how the
+reference trains per-camera NIPs.
+"""
+import os
+import struct
+
+import numpy as np
+
+from neural_imaging_tpu.data import dng as _dng
+from neural_imaging_tpu.data.dng import (
+    DNGError, _all_ifds, _read_ifd, _tag,
+    _TAG_BITS, _TAG_BLACK_LEVEL, _TAG_CFA_PATTERN, _TAG_CFA_REPEAT_DIM,
+    _TAG_COMPRESSION, _TAG_LENGTH, _TAG_MAKE, _TAG_MODEL, _TAG_PHOTOMETRIC,
+    _TAG_ROWS_PER_STRIP, _TAG_STRIP_BYTE_COUNTS, _TAG_STRIP_OFFSETS,
+    _TAG_SUB_IFDS, _TAG_WHITE_LEVEL, _TAG_WIDTH, _CFA_CODE, _CFA_CODE_INV,
+    _PHOTOMETRIC_CFA, _ASCII, _BYTE, _LONG, _SHORT,
+)
+
+_TAG_NEW_SUBFILE_TYPE = 254
+_TAG_SAMPLES_PER_PIXEL = 277
+_TAG_PLANAR_CONFIG = 284
+_TAG_EXIF_IFD = 34665
+_TAG_MAKERNOTE = 37500
+_TAG_CR2_SLICE = 50752          # 0xc640: (N, slice_width, last_slice_width)
+_TAG_CANON_COLOR_DATA = 0x4001  # MakerNote: ColorData block with as-shot WB
+
+_COMPRESSION_NONE = 1
+_COMPRESSION_OLD_JPEG = 6       # CR2 uses the legacy tag id for its SOF3 payload
+_COMPRESSION_NIKON = 34713
+_COMPRESSION_SONY = 32767
+
+
+class UnsupportedRawError(DNGError):
+    """Structurally valid camera file whose payload encoding is not implemented."""
+
+
+# ----------------------------------------------------------------------------------
+# Shared helpers
+# ----------------------------------------------------------------------------------
+
+def _open_tiff(filename):
+    with open(filename, 'rb') as fh:
+        buf = fh.read()
+    if len(buf) < 16:
+        raise DNGError('Truncated camera RAW file')
+    order = buf[:2]
+    if order == b'II':
+        endian = '<'
+    elif order == b'MM':
+        endian = '>'
+    else:
+        raise DNGError('Not a TIFF-based RAW file (bad byte-order mark)')
+    magic, first_ifd = struct.unpack_from(endian + 'HI', buf, 2)
+    if magic != 42:
+        raise DNGError('Not a TIFF-based RAW file (bad magic)')
+    return buf, endian, first_ifd
+
+
+def _unpack_bitpacked(data, n_samples, bits):
+    """Unpack an MSB-first bitstream of ``bits``-wide samples (NEF/ARW packed)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    bitstream = np.unpackbits(arr)[:n_samples * bits].reshape(n_samples, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+    return (bitstream.astype(np.uint32) @ weights).astype(np.uint16)
+
+
+def _cfa_from_ifd(ifd, default='RGGB'):
+    dim = _tag(ifd, _TAG_CFA_REPEAT_DIM, (2, 2))
+    if tuple(dim) != (2, 2):
+        raise DNGError(f'Only 2x2 CFA patterns are supported, got {dim}')
+    codes = _tag(ifd, _TAG_CFA_PATTERN)
+    if codes is None:
+        return default
+    return ''.join(_CFA_CODE.get(c, '?') for c in codes)
+
+
+def _result(mosaic, cfa, black, white, cam_mul, cam2srgb, camera):
+    return {'mosaic': mosaic, 'cfa_pattern': cfa, 'black': float(black),
+            'white': float(white), 'cam_mul': np.asarray(cam_mul, np.float32),
+            'cam2srgb': np.asarray(cam2srgb, np.float64), 'camera': str(camera)}
+
+
+# ----------------------------------------------------------------------------------
+# CR2 (Canon)
+# ----------------------------------------------------------------------------------
+
+def _canon_wb_from_makernote(buf, endian, ifd0):
+    """Best-effort as-shot WB: EXIF IFD -> MakerNote IFD -> ColorData (0x4001).
+
+    The ColorData block is a SHORT array whose WB_AsShot quadruple sits at a
+    byte offset that depends on the block generation — 50 (count 582),
+    68 (count 653), 126 (larger blocks), stored as (R, G1, G2, B) levels
+    (dcraw's ``c ^ (c >> 1)`` permutation of cam_mul)."""
+    exif_ptr = _tag(ifd0, _TAG_EXIF_IFD)
+    if not exif_ptr:
+        return None
+    # The MakerNote is an UNDEFINED blob holding a bare Canon IFD (same
+    # endianness, no TIFF header) at the tag's data offset.
+    mk_off = _find_tag_data_offset(buf, exif_ptr[0], endian, _TAG_MAKERNOTE)
+    if mk_off is None:
+        return None
+    try:
+        canon, _ = _read_ifd(buf, mk_off, endian)
+    except struct.error:
+        return None
+    cd = canon.get(_TAG_CANON_COLOR_DATA)
+    if cd is None:
+        return None
+    typ, values = cd
+    count = len(values)
+    byte_off = 50 if count == 582 else 68 if count == 653 else 126
+    word = byte_off // 2
+    if count < word + 4:
+        return None
+    r, g1, g2, b = (float(values[word + i]) for i in range(4))
+    if min(r, g1, g2, b) <= 0:
+        return None
+    g = (g1 + g2) / 2.0
+    return np.array([r / g, 1.0, b / g, 1.0], dtype=np.float32)
+
+
+def _find_tag_data_offset(buf, ifd_offset, endian, wanted_tag):
+    """Return the file offset of a tag's out-of-line data within one IFD."""
+    (n_entries,) = struct.unpack_from(endian + 'H', buf, ifd_offset)
+    pos = ifd_offset + 2
+    for _ in range(n_entries):
+        tag, typ, count = struct.unpack_from(endian + 'HHI', buf, pos)
+        if tag == wanted_tag:
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2}.get(typ, 4)
+            if size * count <= 4:
+                return pos + 8
+            (off,) = struct.unpack_from(endian + 'I', buf, pos + 8)
+            return off
+        pos += 12
+    return None
+
+
+def read_cr2(filename):
+    """Parse a Canon CR2: SOF3 payload + slice reassembly. Returns the same
+    dict shape as :func:`neural_imaging_tpu.data.dng.read_dng`."""
+    buf, endian, first_ifd = _open_tiff(filename)
+    if buf[8:10] != b'CR':
+        raise DNGError('Not a CR2 file (missing CR marker at byte 8)')
+    (raw_ifd_off,) = struct.unpack_from(endian + 'I', buf, 12)
+    raw_ifd, _ = _read_ifd(buf, raw_ifd_off, endian)
+    ifd0, _ = _read_ifd(buf, first_ifd, endian)
+
+    compression = _tag(raw_ifd, _TAG_COMPRESSION, (_COMPRESSION_OLD_JPEG,))[0]
+    if compression != _COMPRESSION_OLD_JPEG:
+        raise UnsupportedRawError(
+            f'CR2 compression={compression} is not supported (expected the '
+            'lossless-JPEG raw IFD); convert to DNG for native ingestion.')
+
+    offsets = _tag(raw_ifd, _TAG_STRIP_OFFSETS)
+    counts = _tag(raw_ifd, _TAG_STRIP_BYTE_COUNTS)
+    if offsets is None or counts is None:
+        raise DNGError('CR2 raw IFD is missing its strip offset/byte count')
+    from neural_imaging_tpu.data import ljpeg
+    dec, precision = ljpeg.decode(buf[offsets[0]:offsets[0] + counts[0]])
+    lines, samples, ncomp = dec.shape
+    total = lines * samples * ncomp
+
+    slice_info = _tag(raw_ifd, _TAG_CR2_SLICE)
+    flat = dec.reshape(-1)
+    if slice_info and slice_info[0]:
+        n_extra, ws, w_last = int(slice_info[0]), int(slice_info[1]), int(slice_info[2])
+        widths = [ws] * n_extra + [w_last]
+    else:
+        widths = [samples * ncomp]
+    width = sum(widths)
+    if total % width:
+        raise DNGError(f'CR2 slice widths {widths} do not divide the decoded '
+                       f'sample count {total}')
+    height = total // width
+    mosaic = np.empty((height, width), dtype=np.uint16)
+    pos = 0
+    x0 = 0
+    for w in widths:
+        block = flat[pos:pos + height * w].reshape(height, w)
+        mosaic[:, x0:x0 + w] = block
+        pos += height * w
+        x0 += w
+
+    cfa = _cfa_from_ifd(raw_ifd, default='RGGB')
+    black = _tag(raw_ifd, _TAG_BLACK_LEVEL, (0,))
+    white = _tag(raw_ifd, _TAG_WHITE_LEVEL, ((1 << precision) - 1,))[0]
+    cam_mul = _canon_wb_from_makernote(buf, endian, ifd0)
+    if cam_mul is None:
+        cam_mul = np.ones(4, dtype=np.float32)
+    camera = _tag(ifd0, _TAG_MODEL, ('Canon',))
+    camera = camera if isinstance(camera, str) else camera[0]
+    return _result(mosaic, cfa, np.mean(black), white, cam_mul, np.eye(3), camera)
+
+
+# ----------------------------------------------------------------------------------
+# NEF (Nikon) / ARW (Sony) — TIFF-EP with an uncompressed (possibly bit-packed)
+# CFA SubIFD
+# ----------------------------------------------------------------------------------
+
+def _read_tiff_ep_raw(filename, default_cfa, vendor):
+    buf, endian, first_ifd = _open_tiff(filename)
+    ifds = _all_ifds(buf, endian, first_ifd)
+    raw_ifd = None
+    for ifd in ifds:
+        if _tag(ifd, _TAG_PHOTOMETRIC, (0,))[0] == _PHOTOMETRIC_CFA:
+            raw_ifd = ifd
+            break
+    if raw_ifd is None:
+        raise DNGError(f'No CFA raw IFD found in this {vendor} file')
+
+    compression = _tag(raw_ifd, _TAG_COMPRESSION, (_COMPRESSION_NONE,))[0]
+    if compression == _COMPRESSION_NIKON:
+        raise UnsupportedRawError(
+            'Nikon type-34713 compressed NEF is not natively supported; '
+            'convert to DNG (lossless JPEG) for native ingestion.')
+    if compression == _COMPRESSION_SONY:
+        raise UnsupportedRawError(
+            'Sony compressed ARW (cRAW) is not natively supported; convert to '
+            'DNG for native ingestion.')
+    if compression not in (_COMPRESSION_NONE,):
+        raise UnsupportedRawError(
+            f'{vendor} compression={compression} is not natively supported.')
+
+    width = _tag(raw_ifd, _TAG_WIDTH)[0]
+    length = _tag(raw_ifd, _TAG_LENGTH)[0]
+    bits = _tag(raw_ifd, _TAG_BITS, (16,))[0]
+    if bits not in (12, 14, 16):
+        raise DNGError(f'Unsupported {vendor} bit depth: {bits}')
+    offsets = _tag(raw_ifd, _TAG_STRIP_OFFSETS)
+    counts = _tag(raw_ifd, _TAG_STRIP_BYTE_COUNTS)
+    if offsets is None or counts is None:
+        raise DNGError(f'{vendor} raw IFD is missing strip offsets/byte counts')
+    data = b''.join(buf[o:o + c] for o, c in zip(offsets, counts))
+
+    n = width * length
+    if len(data) >= 2 * n:
+        dtype = np.dtype(('<' if endian == '<' else '>') + 'u2')
+        mosaic = np.frombuffer(data, dtype=dtype, count=n).reshape(length, width)
+        mosaic = mosaic.astype(np.uint16)
+    elif len(data) * 8 >= n * bits:
+        mosaic = _unpack_bitpacked(data, n, bits).reshape(length, width)
+    else:
+        raise DNGError(
+            f'{vendor} strip data ({len(data)} bytes) is too short for a '
+            f'{length}x{width}x{bits}-bit mosaic')
+
+    cfa = _cfa_from_ifd(raw_ifd, default=default_cfa)
+    ifd0 = ifds[0]
+    black_vals = _tag(raw_ifd, _TAG_BLACK_LEVEL, _tag(ifd0, _TAG_BLACK_LEVEL, (0,)))
+    white = _tag(raw_ifd, _TAG_WHITE_LEVEL,
+                 _tag(ifd0, _TAG_WHITE_LEVEL, ((1 << bits) - 1,)))[0]
+    camera = _tag(ifd0, _TAG_MODEL, (vendor,))
+    camera = camera if isinstance(camera, str) else camera[0]
+    return _result(mosaic, cfa, np.mean(black_vals), white,
+                   np.ones(4, np.float32), np.eye(3), camera)
+
+
+def read_nef(filename):
+    """Parse a Nikon NEF (uncompressed / bit-packed CFA SubIFD)."""
+    return _read_tiff_ep_raw(filename, default_cfa='GBRG', vendor='NEF')
+
+
+def read_arw(filename):
+    """Parse a Sony ARW (uncompressed / bit-packed CFA SubIFD)."""
+    return _read_tiff_ep_raw(filename, default_cfa='RGGB', vendor='ARW')
+
+
+_READERS = {'.cr2': read_cr2, '.nef': read_nef, '.arw': read_arw}
+
+
+def read_camera_raw(filename):
+    """Dispatch on extension: .cr2 / .nef / .arw → parsed raw dict."""
+    ext = os.path.splitext(filename)[1].lower()
+    reader = _READERS.get(ext)
+    if reader is None:
+        raise DNGError(f'Unrecognized camera RAW extension: {ext}')
+    return reader(filename)
+
+
+# ----------------------------------------------------------------------------------
+# Writers (spec-layout files for hermetic round-trip tests and dataset synthesis)
+# ----------------------------------------------------------------------------------
+
+def _entry_blob(entries, endian, base_offset):
+    """Pack IFD entries; returns (ifd_bytes_without_next_ptr, overflow, size)."""
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_start = base_offset + ifd_size
+    overflow = b''
+    packed = []
+    for tag, typ, values in sorted(entries, key=lambda e: e[0]):
+        data, _ = _dng._pack_values(typ, values, endian)
+        count = len(values) if typ != _ASCII else len(data)
+        if len(data) <= 4:
+            packed.append(struct.pack(endian + 'HHI', tag, typ, count)
+                          + data + b'\0' * (4 - len(data)))
+        else:
+            off = overflow_start + len(overflow)
+            packed.append(struct.pack(endian + 'HHII', tag, typ, count, off))
+            overflow += data + (b'\0' if len(data) % 2 else b'')
+    body = struct.pack(endian + 'H', len(entries)) + b''.join(packed)
+    return body, overflow, ifd_size
+
+
+def write_cr2(filename, mosaic_u16, cfa_pattern='RGGB', precision=14,
+              cam_mul=(1.0, 1.0, 1.0, 1.0), n_slices=3, black=0, white=None,
+              camera='Canon EOS (synthetic)'):
+    """Write a CR2-layout file: CR marker, raw IFD pointer at byte 12, sliced
+    SOF3 payload, Canon MakerNote ColorData WB. The reader must invert it.
+
+    ``black``/``white`` are emitted as DNG-style level tags in the raw IFD —
+    real CR2s carry levels in vendor blocks instead, and the reader falls back
+    to (0, 2^precision-1) when the tags are absent."""
+    mosaic = np.ascontiguousarray(np.asarray(mosaic_u16, dtype=np.uint16))
+    h, w = mosaic.shape
+    if mosaic.max(initial=0) >= (1 << precision):
+        raise DNGError(f'mosaic exceeds the {precision}-bit CR2 precision')
+    if w % 2:
+        raise DNGError('CR2 writing needs an even mosaic width')
+    # vertical slices: n_slices-1 equal slices (even widths) + remainder
+    ws = max(2, (w // n_slices) & ~1)
+    widths = [ws] * (n_slices - 1)
+    w_last = w - sum(widths)
+    if w_last <= 0:
+        widths, w_last = [], w
+    flat = np.concatenate([mosaic[:, x0:x0 + sw].reshape(-1)
+                           for x0, sw in _slice_spans(widths + [w_last])])
+    from neural_imaging_tpu.data import ljpeg
+    payload = ljpeg.encode(flat.reshape(h, w // 2, 2), precision=precision)
+
+    cam_mul = np.asarray(cam_mul, dtype=np.float64)
+    g = cam_mul[1] or 1.0
+    # ColorData block: 126 zero bytes then WB_AsShot (R, G1, G2, B) levels
+    wb_levels = [int(round(1024 * cam_mul[0] / g)), 1024, 1024,
+                 int(round(1024 * cam_mul[2] / g))]
+    color_data = tuple([0] * 63 + wb_levels + [0] * 8)
+
+    endian = '<'
+    # Layout (offsets resolved manually — the CR2 header needs the raw IFD
+    # offset at byte 12): [header 16] [canon IFD] [exif IFD] [ifd0] [raw] [payload]
+    header_size = 16
+
+    def sized(entries, base):
+        body, overflow, size = _entry_blob(entries, endian, base)
+        return body + struct.pack('<I', 0) + overflow
+
+    canon_off = header_size
+    canon_blob = sized([(_TAG_CANON_COLOR_DATA, _SHORT, color_data)], canon_off)
+    exif_off = canon_off + len(canon_blob)
+    # MakerNote as an UNDEFINED (type 7) blob whose payload is the Canon IFD
+    exif_blob = (struct.pack('<H', 1)
+                 + struct.pack('<HHII', _TAG_MAKERNOTE, 7, len(canon_blob), canon_off)
+                 + struct.pack('<I', 0))
+    ifd0_off = exif_off + len(exif_blob)
+    ifd0_blob = sized([
+        (_TAG_MAKE, _ASCII, 'Canon'),
+        (_TAG_MODEL, _ASCII, camera),
+        (_TAG_EXIF_IFD, _LONG, (exif_off,)),
+    ], ifd0_off)
+    raw_off = ifd0_off + len(ifd0_blob)
+    if white is None:
+        white = (1 << precision) - 1
+    raw_entries = [
+        (_TAG_COMPRESSION, _SHORT, (_COMPRESSION_OLD_JPEG,)),
+        (_TAG_STRIP_OFFSETS, _LONG, (0,)),  # patched below
+        (_TAG_STRIP_BYTE_COUNTS, _LONG, (len(payload),)),
+        (_TAG_CR2_SLICE, _SHORT, (len(widths), widths[0] if widths else 0, w_last)),
+        (_TAG_CFA_REPEAT_DIM, _SHORT, (2, 2)),
+        (_TAG_CFA_PATTERN, _BYTE,
+         tuple(_CFA_CODE_INV[c] for c in cfa_pattern.upper())),
+        (_TAG_BLACK_LEVEL, _SHORT, (int(black),)),
+        (_TAG_WHITE_LEVEL, _SHORT if white < 65536 else _LONG, (int(white),)),
+    ]
+    raw_blob = sized(raw_entries, raw_off)
+    payload_off = raw_off + len(raw_blob)
+    raw_entries[1] = (_TAG_STRIP_OFFSETS, _LONG, (payload_off,))
+    raw_blob = sized(raw_entries, raw_off)
+
+    with open(filename, 'wb') as fh:
+        fh.write(b'II' + struct.pack('<HI', 42, ifd0_off))
+        fh.write(b'CR' + bytes((2, 0)) + struct.pack('<I', raw_off))
+        fh.write(canon_blob + exif_blob + ifd0_blob + raw_blob + payload)
+    return filename
+
+
+def _slice_spans(widths):
+    x0 = 0
+    for w in widths:
+        yield x0, w
+        x0 += w
+
+
+def _pack_bitstream(mosaic, bits):
+    flat = mosaic.reshape(-1).astype(np.uint32)
+    shifts = np.arange(bits - 1, -1, -1)
+    bitmat = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return np.packbits(bitmat.reshape(-1)).tobytes()
+
+
+def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, white):
+    mosaic = np.ascontiguousarray(np.asarray(mosaic, dtype=np.uint16))
+    h, w = mosaic.shape
+    if mosaic.max(initial=0) >= (1 << bits):
+        raise DNGError(f'mosaic exceeds the {bits}-bit container range')
+    if bits == 16:
+        pixel_data = mosaic.astype('<u2').tobytes()
+    else:
+        pixel_data = _pack_bitstream(mosaic, bits)
+    if white is None:
+        white = (1 << bits) - 1
+
+    endian = '<'
+
+    def sized(entries, base):
+        body, overflow, _ = _entry_blob(entries, endian, base)
+        return body + struct.pack('<I', 0) + overflow
+
+    header_size = 8
+    raw_entries = [
+        (_TAG_NEW_SUBFILE_TYPE, _LONG, (0,)),
+        (_TAG_WIDTH, _LONG, (w,)),
+        (_TAG_LENGTH, _LONG, (h,)),
+        (_TAG_BITS, _SHORT, (bits,)),
+        (_TAG_COMPRESSION, _SHORT, (_COMPRESSION_NONE,)),
+        (_TAG_PHOTOMETRIC, _SHORT, (_PHOTOMETRIC_CFA,)),
+        (_TAG_STRIP_OFFSETS, _LONG, (0,)),  # patched
+        (_TAG_SAMPLES_PER_PIXEL, _SHORT, (1,)),
+        (_TAG_ROWS_PER_STRIP, _LONG, (h,)),
+        (_TAG_STRIP_BYTE_COUNTS, _LONG, (len(pixel_data),)),
+        (_TAG_PLANAR_CONFIG, _SHORT, (1,)),
+        (_TAG_CFA_REPEAT_DIM, _SHORT, (2, 2)),
+        (_TAG_CFA_PATTERN, _BYTE,
+         tuple(_CFA_CODE_INV[c] for c in cfa_pattern.upper())),
+        (_TAG_BLACK_LEVEL, _SHORT, (int(black),)),
+        (_TAG_WHITE_LEVEL, _SHORT if white < 65536 else _LONG, (int(white),)),
+    ]
+    ifd0_entries = [
+        (_TAG_NEW_SUBFILE_TYPE, _LONG, (1,)),
+        (_TAG_MAKE, _ASCII, make),
+        (_TAG_MODEL, _ASCII, camera),
+        (_TAG_SUB_IFDS, _LONG, (0,)),  # patched
+    ]
+    ifd0_off = header_size
+    ifd0_blob = sized(ifd0_entries, ifd0_off)
+    raw_off = ifd0_off + len(ifd0_blob)
+    ifd0_entries[3] = (_TAG_SUB_IFDS, _LONG, (raw_off,))
+    ifd0_blob = sized(ifd0_entries, ifd0_off)
+    raw_blob = sized(raw_entries, raw_off)
+    payload_off = raw_off + len(raw_blob)
+    raw_entries[6] = (_TAG_STRIP_OFFSETS, _LONG, (payload_off,))
+    raw_blob = sized(raw_entries, raw_off)
+
+    with open(filename, 'wb') as fh:
+        fh.write(b'II' + struct.pack('<HI', 42, ifd0_off))
+        fh.write(ifd0_blob + raw_blob + pixel_data)
+    return filename
+
+
+def write_nef(filename, mosaic_u16, cfa_pattern='GBRG', bits=14, black=0,
+              white=None, camera='NIKON (synthetic)'):
+    """Write an uncompressed NEF-layout file (bit-packed for bits<16)."""
+    return _write_tiff_ep(filename, mosaic_u16, cfa_pattern, bits,
+                          'NIKON CORPORATION', camera, black, white)
+
+
+def write_arw(filename, mosaic_u16, cfa_pattern='RGGB', bits=16, black=0,
+              white=None, camera='SONY (synthetic)'):
+    """Write an uncompressed ARW-layout file."""
+    return _write_tiff_ep(filename, mosaic_u16, cfa_pattern, bits,
+                          'SONY', camera, black, white)

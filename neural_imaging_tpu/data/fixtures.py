@@ -157,6 +157,15 @@ def make_dng_capture(filename, image_rgb=None, cfa_pattern='RGGB', seed=0,
         if image_rgb is None:
             image_rgb = procedural_image(512, 512, seed)
 
+    mosaic_u16 = simulate_sensor_mosaic(image_rgb, cfa_pattern, cam_mul, cam2srgb,
+                                        black, white)
+    return dng.write_dng(filename, mosaic_u16, cfa_pattern=cfa_pattern, black=black,
+                         white=white, cam_mul=tuple(cam_mul), cam2srgb=cam2srgb,
+                         camera=camera, compression=compression)
+
+
+def simulate_sensor_mosaic(image_rgb, cfa_pattern, cam_mul, cam2srgb, black, white):
+    """sRGB scene → linear → camera space → inverse WB → CFA mosaic → levels."""
     linear = np.power(np.clip(image_rgb, 0, 1), 2.2)
     cam_linear = np.clip(np.einsum('ij,hwj->hwi', np.linalg.inv(cam2srgb), linear), 0, 1)
 
@@ -166,11 +175,47 @@ def make_dng_capture(filename, image_rgb=None, cfa_pattern='RGGB', seed=0,
     sensor = cam_linear / np.array([gains[0], 1.0, gains[2]])[None, None, :]
 
     mosaic = bayer.mosaic_flat(np.clip(sensor, 0, 1), cfa_pattern)
-    mosaic_u16 = np.clip(black + mosaic * (white - black), 0, 65535).round().astype(np.uint16)
+    return np.clip(black + mosaic * (white - black), 0, 65535).round().astype(np.uint16)
 
-    return dng.write_dng(filename, mosaic_u16, cfa_pattern=cfa_pattern, black=black,
-                         white=white, cam_mul=tuple(cam_mul), cam2srgb=cam2srgb,
-                         camera=camera, compression=compression)
+
+def make_camera_capture(filename, fmt=None, image_rgb=None, cfa_pattern='RGGB',
+                        seed=0, cam_mul=(2.0, 1.0, 1.5, 1.0), cam2srgb='example',
+                        black=512, white=16383):
+    """Simulate the same 14-bit capture as :func:`make_dng_capture` but write a
+    vendor container (``fmt`` in {'cr2', 'nef', 'arw'}; default from the file
+    extension) via data/camera_raw.py — the native no-libRAW ingestion path for
+    non-DNG camera files. Returns the filename.
+
+    CR2 carries the as-shot WB in its MakerNote ColorData block; NEF/ARW
+    containers have no standard WB/color tags, so those fixtures are written
+    with the sensor mosaic only (develop with an explicit camera profile)."""
+    from neural_imaging_tpu.data import camera_raw
+    from neural_imaging_tpu.ops.kernels import EXAMPLE_SRGB
+
+    if fmt is None:
+        fmt = os.path.splitext(filename)[1].lstrip('.').lower()
+    if isinstance(cam2srgb, str) and cam2srgb == 'example':
+        cam2srgb = EXAMPLE_SRGB
+    if image_rgb is None:
+        image_rgb = real_photo()
+        if image_rgb is None:
+            image_rgb = procedural_image(512, 512, seed)
+
+    mosaic_u16 = simulate_sensor_mosaic(image_rgb, cfa_pattern, cam_mul, cam2srgb,
+                                        black, white)
+    if fmt == 'cr2':
+        return camera_raw.write_cr2(filename, mosaic_u16, cfa_pattern=cfa_pattern,
+                                    precision=14, cam_mul=cam_mul, black=black,
+                                    white=white, camera='SimCam-CR2')
+    if fmt == 'nef':
+        return camera_raw.write_nef(filename, mosaic_u16, cfa_pattern=cfa_pattern,
+                                    bits=14, black=black, white=white,
+                                    camera='SimCam-NEF')
+    if fmt == 'arw':
+        return camera_raw.write_arw(filename, mosaic_u16, cfa_pattern=cfa_pattern,
+                                    bits=16, black=black, white=white,
+                                    camera='SimCam-ARW')
+    raise ValueError(f'Unsupported camera container: {fmt!r}')
 
 
 def make_quality_dataset(directory, n_images=60, height=256, width=384, seed=900,

@@ -12,9 +12,11 @@ build uses rawpy when present and ships its own demosaicers:
   algorithm class the reference requests via colour_demosaicing — measured ~3 dB
   above Malvar on real photographic content (tests/test_raw_ingestion.py)
 
-Camera files: ``.dng`` is parsed natively (data/dng.py, uncompressed CFA DNGs —
-no libRAW needed); other RAW formats (NEF/CR2/ARW) and compressed DNGs use rawpy
-when available.
+Camera files are parsed natively, no libRAW needed: ``.dng`` (data/dng.py —
+uncompressed AND lossless-JPEG compressed CFA), ``.cr2`` (data/camera_raw.py —
+sliced SOF3 payload + MakerNote WB), ``.nef``/``.arw`` (uncompressed/bit-packed
+TIFF-EP). Vendor-proprietary entropy codings (Nikon 34713, Sony cRAW) fall back
+to rawpy when it is installed.
 
 Synthetic RAW container (``*.nraw.npz``): mosaic (uint16 h×w), black, saturation,
 cam_mul (4,), cfa (str), cam2srgb (3×3). Produced by
@@ -157,20 +159,28 @@ def _load_raw_data(filename):
         cfa = bytes(z['cfa']).decode() if z['cfa'].dtype.kind == 'S' else str(z['cfa'])
         return mosaic, cfa, np.asarray(z['cam2srgb']), np.asarray(z['cam_mul'], dtype=np.float32)
 
-    if filename.lower().endswith('.dng'):
+    ext = os.path.splitext(filename)[1].lower()
+    if ext == '.dng':
         from neural_imaging_tpu.data import dng
         try:
             d = dng.read_dng(filename)
         except dng.DNGError:
             if not HAS_RAWPY:
                 raise
-            d = None  # compressed DNG: fall through to rawpy
+            d = None  # unsupported DNG variant: fall through to rawpy
         if d is not None:
-            mosaic = d['mosaic'].astype(np.float32)
-            mosaic = np.clip((mosaic - d['black']) / (d['white'] - d['black']), 0, 1)
-            cam_mul = np.array([d['cam_mul'][0], d['cam_mul'][1], d['cam_mul'][2],
-                                d['cam_mul'][3]], dtype=np.float32)
-            return mosaic, d['cfa_pattern'], d['cam2srgb'], cam_mul
+            return _normalize_parsed(d)
+
+    if ext in ('.cr2', '.nef', '.arw'):
+        from neural_imaging_tpu.data import camera_raw
+        try:
+            d = camera_raw.read_camera_raw(filename)
+        except camera_raw.UnsupportedRawError:
+            if not HAS_RAWPY:
+                raise
+            d = None  # vendor-compressed payload: fall through to rawpy
+        if d is not None:
+            return _normalize_parsed(d)
 
     if not HAS_RAWPY:
         raise RuntimeError(
@@ -189,6 +199,14 @@ def _load_raw_data(filename):
         if not cam2srgb.any():
             cam2srgb = np.eye(3)
         return mosaic, pattern, cam2srgb, cam_mul
+
+
+def _normalize_parsed(d):
+    """(mosaic [0,1], cfa, cam2srgb, cam_mul) from a parsed dng/camera_raw dict."""
+    mosaic = d['mosaic'].astype(np.float32)
+    mosaic = np.clip((mosaic - d['black']) / (d['white'] - d['black']), 0, 1)
+    cam_mul = np.asarray(d['cam_mul'][:4], dtype=np.float32)
+    return mosaic, d['cfa_pattern'], d['cam2srgb'], cam_mul
 
 
 def _apply_wb(mosaic, cfa_pattern, cam_mul):

@@ -116,6 +116,127 @@ class TestMenonDemosaicing:
         assert out.shape == (64, 64, 3)
 
 
+class TestVendorContainers:
+    """Native CR2/NEF/ARW ingestion (data/camera_raw.py) — no rawpy anywhere.
+
+    Hermetic round trips: spec-layout writers produce the container structures
+    (CR2 slice reassembly + MakerNote WB, NEF MSB-first bit packing, ARW plain
+    words) the reader must invert, and the same simulated sensor written as a
+    DNG must unpack identically (ref helpers/raw.py:110-181 covers these
+    formats through libRAW)."""
+
+    def test_cr2_round_trip(self, tmp_path):
+        from neural_imaging_tpu.data import camera_raw
+        rng = np.random.default_rng(11)
+        mosaic = rng.integers(0, 1 << 14, size=(60, 100), dtype=np.uint16)
+        path = str(tmp_path / 'x.cr2')
+        camera_raw.write_cr2(path, mosaic, cfa_pattern='RGGB', precision=14,
+                             cam_mul=(2.2, 1.0, 1.3, 1.0), n_slices=3,
+                             black=512, white=16383, camera='RTCam')
+        d = camera_raw.read_cr2(path)
+        assert np.array_equal(d['mosaic'], mosaic)
+        assert d['cfa_pattern'] == 'RGGB'
+        assert d['black'] == 512 and d['white'] == 16383
+        assert d['camera'] == 'RTCam'
+        np.testing.assert_allclose(d['cam_mul'], [2.2, 1.0, 1.3, 1.0], atol=2e-3)
+
+    @pytest.mark.parametrize('n_slices', [1, 2, 5])
+    def test_cr2_slice_geometries(self, tmp_path, n_slices):
+        from neural_imaging_tpu.data import camera_raw
+        rng = np.random.default_rng(n_slices)
+        mosaic = rng.integers(0, 1 << 12, size=(42, 54), dtype=np.uint16)
+        path = str(tmp_path / 's.cr2')
+        camera_raw.write_cr2(path, mosaic, precision=12, n_slices=n_slices)
+        assert np.array_equal(camera_raw.read_cr2(path)['mosaic'], mosaic)
+
+    @pytest.mark.parametrize('bits', [12, 14, 16])
+    def test_nef_bit_depths(self, tmp_path, bits):
+        from neural_imaging_tpu.data import camera_raw
+        rng = np.random.default_rng(bits)
+        mosaic = rng.integers(0, 1 << bits, size=(48, 64), dtype=np.uint16)
+        path = str(tmp_path / 'x.nef')
+        camera_raw.write_nef(path, mosaic, cfa_pattern='GBRG', bits=bits)
+        d = camera_raw.read_nef(path)
+        assert np.array_equal(d['mosaic'], mosaic)
+        assert d['cfa_pattern'] == 'GBRG'
+        assert d['white'] == (1 << bits) - 1
+
+    def test_arw_round_trip(self, tmp_path):
+        from neural_imaging_tpu.data import camera_raw
+        rng = np.random.default_rng(5)
+        mosaic = rng.integers(0, 1 << 16, size=(32, 48), dtype=np.uint16)
+        path = str(tmp_path / 'x.arw')
+        camera_raw.write_arw(path, mosaic, bits=16)
+        assert np.array_equal(camera_raw.read_arw(path)['mosaic'], mosaic)
+
+    def test_unpack_parity_across_containers(self, tmp_path, photo):
+        """The same simulated capture written as DNG / CR2 / NEF / ARW unpacks
+        to the identical normalized mosaic (WB off — NEF/ARW carry no WB)."""
+        crop = photo[:128, :128]
+        paths = {
+            'dng': fixtures.make_dng_capture(str(tmp_path / 'c.dng'), image_rgb=crop),
+            'cr2': fixtures.make_camera_capture(str(tmp_path / 'c.cr2'), image_rgb=crop),
+            'nef': fixtures.make_camera_capture(str(tmp_path / 'c.nef'), image_rgb=crop),
+            'arw': fixtures.make_camera_capture(str(tmp_path / 'c.arw'), image_rgb=crop),
+        }
+        stacks = {k: raw.unpack(p, use_wb=False)[0] for k, p in paths.items()}
+        for k in ('cr2', 'nef', 'arw'):
+            np.testing.assert_array_equal(stacks[k], stacks['dng'], err_msg=k)
+
+    def test_cr2_wb_matches_dng(self, tmp_path, photo):
+        """CR2's MakerNote WB drives the same white balance as DNG AsShotNeutral."""
+        crop = photo[:64, :64]
+        p_dng = fixtures.make_dng_capture(str(tmp_path / 'w.dng'), image_rgb=crop)
+        p_cr2 = fixtures.make_camera_capture(str(tmp_path / 'w.cr2'), image_rgb=crop)
+        s_dng, _, _, mul_dng = raw.unpack(p_dng)
+        s_cr2, _, _, mul_cr2 = raw.unpack(p_cr2)
+        np.testing.assert_allclose(mul_cr2, mul_dng, atol=2e-3)
+        np.testing.assert_allclose(s_cr2, s_dng, atol=2e-3)
+
+    def test_unsupported_vendor_compression(self, tmp_path):
+        """Proprietary entropy codings raise UnsupportedRawError with a hint
+        (falling through to rawpy when installed; a clear error here)."""
+        from neural_imaging_tpu.data import camera_raw
+        path = str(tmp_path / 'x.nef')
+        camera_raw.write_nef(path, np.zeros((8, 8), np.uint16), bits=16)
+        blob = bytearray(open(path, 'rb').read())
+        # patch the raw IFD's Compression SHORT to Nikon's 34713
+        comp = blob.find(struct_pack_compression(1))
+        assert comp > 0
+        blob[comp:comp + 12] = struct_pack_compression(34713)
+        open(path, 'wb').write(bytes(blob))
+        with pytest.raises(camera_raw.UnsupportedRawError, match='34713|Nikon'):
+            camera_raw.read_nef(path)
+        if not raw.HAS_RAWPY:
+            with pytest.raises(camera_raw.UnsupportedRawError):
+                raw.unpack(path)
+
+    def test_prepare_training_set_from_vendor_files(self, tmp_path, photo):
+        """CR2 + NEF camera files -> train_prepare_training_set.py -> training
+        pairs, through the same CLI path as DNGs."""
+        raw_dir = tmp_path / 'camera'
+        os.makedirs(raw_dir)
+        crop = photo[:128, :128]
+        fixtures.make_camera_capture(str(raw_dir / 'a.cr2'), image_rgb=crop)
+        fixtures.make_camera_capture(str(raw_dir / 'b.nef'), image_rgb=crop)
+        out_dir = tmp_path / 'training'
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'train_prepare_training_set.py'),
+             '--dir', str(raw_dir), '--out', str(out_dir), '--dev', 'manual'],
+            capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        npys = sorted(p for p in os.listdir(out_dir) if p.endswith('.npy'))
+        assert len(npys) == 2
+        stack = np.load(out_dir / npys[0])
+        assert stack.dtype == np.uint16 and stack.shape[-1] == 4
+
+
+def struct_pack_compression(value):
+    import struct
+    # TIFF entry: tag 259 (Compression), type SHORT, count 1, inline value
+    return struct.pack('<HHI', 259, 3, 1) + struct.pack('<H', value) + b'\0\0'
+
+
 class TestEndToEndIngestion:
     def test_prepare_training_set_from_dng(self, tmp_path, photo):
         """camera DNGs -> train_prepare_training_set.py -> RGGB .npy + .png pairs
