@@ -59,6 +59,33 @@ _COMPRESSION_OLD_JPEG = 6       # CR2 uses the legacy tag id for its SOF3 payloa
 _COMPRESSION_NIKON = 34713
 _COMPRESSION_SONY = 32767
 
+_TAG_SONY_BLACK = 0x7310        # Sony: per-channel black levels (SHORT[4])
+
+# Per-vendor black-level floors applied when a file carries NO usable level
+# metadata. Real vendor containers do not use the DNG BlackLevel tag: Canon
+# stores levels in opaque vendor blocks (typ. ~2048 at 14 bit, ~256 at 12 bit),
+# Sony in tag 0x7310 (typ. 512 at 14 bit, 128 at 12 bit), while Nikon sensors
+# clamp black on-chip (NEF black is genuinely 0 for most bodies). The reference
+# gets these through libRAW's per-camera knowledge (ref helpers/raw.py:126-133);
+# without vendor metadata we fall back to these defaults WITH A WARNING rather
+# than silently normalizing with black=0.
+_VENDOR_BLACK_DEFAULTS = {
+    ('Canon', 14): 2048, ('Canon', 12): 256,
+    ('ARW', 14): 512, ('ARW', 12): 128, ('ARW', 16): 512,
+    ('NEF', 14): 0, ('NEF', 12): 0, ('NEF', 16): 0,
+}
+
+
+def _default_black(vendor, bits, camera):
+    black = _VENDOR_BLACK_DEFAULTS.get((vendor, bits), 0)
+    if black:
+        from neural_imaging_tpu.utils.utils import logger
+        logger.warning(
+            '%s (%s) carries no black-level metadata — using the per-make '
+            'default %d for %d-bit data; verify against a reference developer '
+            'if colorimetric accuracy matters.', vendor, camera, black, bits)
+    return black
+
 
 class UnsupportedRawError(DNGError):
     """Structurally valid camera file whose payload encoding is not implemented."""
@@ -87,11 +114,31 @@ def _open_tiff(filename):
 
 
 def _unpack_bitpacked(data, n_samples, bits):
-    """Unpack an MSB-first bitstream of ``bits``-wide samples (NEF/ARW packed)."""
-    arr = np.frombuffer(data, dtype=np.uint8)
-    bitstream = np.unpackbits(arr)[:n_samples * bits].reshape(n_samples, bits)
-    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
-    return (bitstream.astype(np.uint32) @ weights).astype(np.uint16)
+    """Unpack an MSB-first bitstream of ``bits``-wide samples (NEF/ARW packed).
+
+    Works on byte-aligned sample groups (lcm(bits, 8) bits: 3 bytes → two
+    12-bit samples, 7 bytes → four 14-bit samples) assembled into one uint64
+    per group — O(file size) transient memory, vs the ~1.5 GB an unpackbits
+    matrix costs for a 24 MP 14-bit NEF."""
+    import math
+    group_bits = bits * 8 // math.gcd(bits, 8)        # lcm(bits, 8)
+    group_bytes = group_bits // 8
+    group_samples = group_bits // bits
+    n_groups = -(-n_samples // group_samples)
+    need = n_groups * group_bytes
+    arr = np.frombuffer(data, dtype=np.uint8, count=min(len(data), need))
+    if len(arr) < need:                               # tolerate a short tail
+        arr = np.concatenate([arr, np.zeros(need - len(arr), np.uint8)])
+    grouped = arr.reshape(n_groups, group_bytes).astype(np.uint64)
+    packed = np.zeros(n_groups, dtype=np.uint64)
+    for i in range(group_bytes):                      # big-endian byte fold
+        packed = (packed << np.uint64(8)) | grouped[:, i]
+    mask = np.uint64((1 << bits) - 1)
+    out = np.empty((n_groups, group_samples), dtype=np.uint16)
+    for j in range(group_samples):
+        shift = np.uint64(group_bits - (j + 1) * bits)
+        out[:, j] = ((packed >> shift) & mask).astype(np.uint16)
+    return out.reshape(-1)[:n_samples]
 
 
 def _cfa_from_ifd(ifd, default='RGGB'):
@@ -126,7 +173,10 @@ def _canon_wb_from_makernote(buf, endian, ifd0):
         return None
     # The MakerNote is an UNDEFINED blob holding a bare Canon IFD (same
     # endianness, no TIFF header) at the tag's data offset.
-    mk_off = _find_tag_data_offset(buf, exif_ptr[0], endian, _TAG_MAKERNOTE)
+    try:
+        mk_off = _find_tag_data_offset(buf, exif_ptr[0], endian, _TAG_MAKERNOTE)
+    except struct.error:
+        return None  # malformed/truncated EXIF IFD pointer → no WB, not a crash
     if mk_off is None:
         return None
     try:
@@ -212,13 +262,15 @@ def read_cr2(filename):
         x0 += w
 
     cfa = _cfa_from_ifd(raw_ifd, default='RGGB')
-    black = _tag(raw_ifd, _TAG_BLACK_LEVEL, (0,))
+    camera = _tag(ifd0, _TAG_MODEL, ('Canon',))
+    camera = camera if isinstance(camera, str) else camera[0]
+    black = _tag(raw_ifd, _TAG_BLACK_LEVEL)
+    if black is None:  # real CR2s keep levels in vendor blocks, not DNG tags
+        black = (_default_black('Canon', precision, camera),)
     white = _tag(raw_ifd, _TAG_WHITE_LEVEL, ((1 << precision) - 1,))[0]
     cam_mul = _canon_wb_from_makernote(buf, endian, ifd0)
     if cam_mul is None:
         cam_mul = np.ones(4, dtype=np.float32)
-    camera = _tag(ifd0, _TAG_MODEL, ('Canon',))
-    camera = camera if isinstance(camera, str) else camera[0]
     return _result(mosaic, cfa, np.mean(black), white, cam_mul, np.eye(3), camera)
 
 
@@ -276,11 +328,19 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
 
     cfa = _cfa_from_ifd(raw_ifd, default=default_cfa)
     ifd0 = ifds[0]
-    black_vals = _tag(raw_ifd, _TAG_BLACK_LEVEL, _tag(ifd0, _TAG_BLACK_LEVEL, (0,)))
-    white = _tag(raw_ifd, _TAG_WHITE_LEVEL,
-                 _tag(ifd0, _TAG_WHITE_LEVEL, ((1 << bits) - 1,)))[0]
     camera = _tag(ifd0, _TAG_MODEL, (vendor,))
     camera = camera if isinstance(camera, str) else camera[0]
+    black_vals = _tag(raw_ifd, _TAG_BLACK_LEVEL, _tag(ifd0, _TAG_BLACK_LEVEL))
+    if black_vals is None and vendor == 'ARW':
+        # Sony stores per-channel black levels in tag 0x7310 (any IFD)
+        for ifd in ifds:
+            black_vals = _tag(ifd, _TAG_SONY_BLACK)
+            if black_vals is not None:
+                break
+    if black_vals is None:
+        black_vals = (_default_black(vendor, bits, camera),)
+    white = _tag(raw_ifd, _TAG_WHITE_LEVEL,
+                 _tag(ifd0, _TAG_WHITE_LEVEL, ((1 << bits) - 1,)))[0]
     return _result(mosaic, cfa, np.mean(black_vals), white,
                    np.ones(4, np.float32), np.eye(3), camera)
 
@@ -426,7 +486,11 @@ def _pack_bitstream(mosaic, bits):
     return np.packbits(bitmat.reshape(-1)).tobytes()
 
 
-def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, white):
+def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, white,
+                   black_style='dng'):
+    """``black_style``: 'dng' emits the DNG BlackLevel tag; 'sony' the vendor
+    tag 0x7310 (what real ARWs carry); 'none' omits level metadata entirely so
+    the reader's per-make default path is exercised."""
     mosaic = np.ascontiguousarray(np.asarray(mosaic, dtype=np.uint16))
     h, w = mosaic.shape
     if mosaic.max(initial=0) >= (1 << bits):
@@ -460,9 +524,14 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
         (_TAG_CFA_REPEAT_DIM, _SHORT, (2, 2)),
         (_TAG_CFA_PATTERN, _BYTE,
          tuple(_CFA_CODE_INV[c] for c in cfa_pattern.upper())),
-        (_TAG_BLACK_LEVEL, _SHORT, (int(black),)),
         (_TAG_WHITE_LEVEL, _SHORT if white < 65536 else _LONG, (int(white),)),
     ]
+    if black_style == 'dng':
+        raw_entries.append((_TAG_BLACK_LEVEL, _SHORT, (int(black),)))
+    elif black_style == 'sony':
+        raw_entries.append((_TAG_SONY_BLACK, _SHORT, (int(black),) * 4))
+    elif black_style != 'none':
+        raise DNGError(f'Unknown black_style {black_style}')
     ifd0_entries = [
         (_TAG_NEW_SUBFILE_TYPE, _LONG, (1,)),
         (_TAG_MAKE, _ASCII, make),
@@ -486,14 +555,15 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
 
 
 def write_nef(filename, mosaic_u16, cfa_pattern='GBRG', bits=14, black=0,
-              white=None, camera='NIKON (synthetic)'):
+              white=None, camera='NIKON (synthetic)', black_style='dng'):
     """Write an uncompressed NEF-layout file (bit-packed for bits<16)."""
     return _write_tiff_ep(filename, mosaic_u16, cfa_pattern, bits,
-                          'NIKON CORPORATION', camera, black, white)
+                          'NIKON CORPORATION', camera, black, white,
+                          black_style=black_style)
 
 
 def write_arw(filename, mosaic_u16, cfa_pattern='RGGB', bits=16, black=0,
-              white=None, camera='SONY (synthetic)'):
+              white=None, camera='SONY (synthetic)', black_style='dng'):
     """Write an uncompressed ARW-layout file."""
     return _write_tiff_ep(filename, mosaic_u16, cfa_pattern, bits,
-                          'SONY', camera, black, white)
+                          'SONY', camera, black, white, black_style=black_style)

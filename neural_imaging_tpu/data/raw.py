@@ -175,10 +175,14 @@ def _load_raw_data(filename):
         from neural_imaging_tpu.data import camera_raw
         try:
             d = camera_raw.read_camera_raw(filename)
-        except camera_raw.UnsupportedRawError:
+        except camera_raw.DNGError:
+            # Unsupported codings AND structural surprises from real-world
+            # vendor files (odd slice layouts, non-2x2 CFA, truncated
+            # MakerNotes, ...) fall through to rawpy when available — the
+            # native reader must never reduce format coverage below libRAW's.
             if not HAS_RAWPY:
                 raise
-            d = None  # vendor-compressed payload: fall through to rawpy
+            d = None
         if d is not None:
             return _normalize_parsed(d)
 

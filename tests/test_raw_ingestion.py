@@ -211,6 +211,39 @@ class TestVendorContainers:
             with pytest.raises(camera_raw.UnsupportedRawError):
                 raw.unpack(path)
 
+    @pytest.mark.parametrize('bits,shape', [(12, (7, 9)), (14, (5, 13))])
+    def test_bitpacked_odd_sample_counts(self, tmp_path, bits, shape):
+        """Sample counts that do not fill a whole byte-aligned group still
+        round-trip (tail handling in the chunked unpacker)."""
+        from neural_imaging_tpu.data import camera_raw
+        rng = np.random.default_rng(bits + shape[0])
+        mosaic = rng.integers(0, 1 << bits, size=shape, dtype=np.uint16)
+        packed = camera_raw._pack_bitstream(mosaic, bits)
+        out = camera_raw._unpack_bitpacked(packed, mosaic.size, bits)
+        np.testing.assert_array_equal(out.reshape(shape), mosaic)
+
+    def test_arw_sony_black_tag(self, tmp_path):
+        """Sony-style black levels (tag 0x7310) are honored."""
+        from neural_imaging_tpu.data import camera_raw
+        mosaic = np.full((8, 8), 700, dtype=np.uint16)
+        path = str(tmp_path / 'b.arw')
+        camera_raw.write_arw(path, mosaic, bits=14, black=512, black_style='sony')
+        d = camera_raw.read_arw(path)
+        assert d['black'] == 512
+
+    def test_vendor_black_defaults(self, tmp_path):
+        """Files with no level metadata get the per-make default black, not 0
+        (real vendor containers carry levels in opaque blocks the reader cannot
+        parse; a silent black=0 would mis-normalize every real capture)."""
+        from neural_imaging_tpu.data import camera_raw
+        mosaic = np.full((8, 8), 3000, dtype=np.uint16)
+        p_arw = str(tmp_path / 'd.arw')
+        camera_raw.write_arw(p_arw, mosaic, bits=14, black_style='none')
+        assert camera_raw.read_arw(p_arw)['black'] == 512
+        p_nef = str(tmp_path / 'd.nef')
+        camera_raw.write_nef(p_nef, mosaic, bits=14, black_style='none')
+        assert camera_raw.read_nef(p_nef)['black'] == 0  # Nikon clamps on-chip
+
     def test_prepare_training_set_from_vendor_files(self, tmp_path, photo):
         """CR2 + NEF camera files -> train_prepare_training_set.py -> training
         pairs, through the same CLI path as DNGs."""
