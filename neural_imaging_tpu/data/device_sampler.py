@@ -23,6 +23,15 @@ sample patches on device:
 Zero host→device traffic and zero host sampling in the hot loop; the sampler's
 output dtypes (uint16/uint8) match the quantized host path, so the SAME
 compiled train step consumes either source.
+
+Data-parallel composition (``sharding``): the image tensors are REPLICATED
+over the mesh (reference-scale sets are tiny; every chip holds a full copy)
+and the sampled batch carries a ``with_sharding_constraint`` on its leading
+axis, so everything downstream of the sample — the whole scanned train step —
+runs SPMD with XLA-inserted gradient all-reduces. Each device materializes
+only its batch shard of the gather; the per-step sample remains identical to
+the single-chip draw (same key → same indices), so losses match across mesh
+sizes up to reduction order.
 """
 import jax
 import jax.numpy as jnp
@@ -35,19 +44,32 @@ class DeviceSampler:
     """Uploads a Dataset's training images once; callable(step) → batch."""
 
     def __init__(self, data, batch_size, rgb_patch_size, discard='flat',
-                 oversample=2, seed=0):
+                 oversample=2, seed=0, sharding=None):
         self.batch_size = batch_size
         self.rgb_patch_size = rgb_patch_size
         self.raw_patch_size = rgb_patch_size // 2
         self.discard = discard if 'y' in data._loaded_data else None
         self.oversample = max(1, int(oversample)) if self.discard else 1
         self._loaded = data._loaded_data
+        self._sharding = sharding
+        if sharding is not None:
+            n_dev = sharding.mesh.devices.size
+            if batch_size % n_dev:
+                raise ValueError(f'batch size ({batch_size}) must divide across '
+                                 f'the {n_dev}-device mesh')
+            from jax.sharding import NamedSharding, PartitionSpec
+            placement = NamedSharding(sharding.mesh, PartitionSpec())  # replicated
+        else:
+            placement = None
+
+        def put(arr):
+            arr = np.ascontiguousarray(arr)
+            return jax.device_put(arr, placement) if placement is not None \
+                else jax.device_put(arr)
 
         train = data.data['training']
-        self._X = (jax.device_put(np.ascontiguousarray(train['x']))
-                   if 'x' in self._loaded else None)
-        self._Y = (jax.device_put(np.ascontiguousarray(train['y']))
-                   if 'y' in self._loaded else None)
+        self._X = put(train['x']) if 'x' in self._loaded else None
+        self._Y = put(train['y']) if 'y' in self._loaded else None
         ref = train['y'] if 'y' in self._loaded else train['x']
         self.n_images = ref.shape[0]
         if 'y' in self._loaded:
@@ -73,8 +95,11 @@ class DeviceSampler:
         """Structural identity for compiled-program caching: two samplers with
         equal signatures trace to identical programs (data enters as traced
         arguments of matching shape/dtype)."""
+        mesh_token = (None if self._sharding is None
+                      else ('dp', int(self._sharding.mesh.devices.size)))
         return (self.batch_size, self.rgb_patch_size, self.discard,
-                self.oversample, self._loaded, self.n_images, self.H, self.W)
+                self.oversample, self._loaded, self.n_images, self.H, self.W,
+                mesh_token)
 
     def _build(self):
         B, M = self.batch_size, self.batch_size * self.oversample
@@ -82,6 +107,14 @@ class DeviceSampler:
         H, W, N = self.H, self.W, self.n_images
         discard = self.discard
         has_x, has_y = self._X is not None, self._Y is not None
+        sharding = self._sharding
+
+        def shard(t):
+            # pin the batch axis to the mesh so the train step downstream of
+            # the in-graph sample runs data-parallel (no-op single-chip)
+            if t is None or sharding is None:
+                return t
+            return jax.lax.with_sharding_constraint(t, sharding)
 
         def sample(key, X, Y):
             def slice_rgb(idx, y0, x0):
@@ -97,7 +130,7 @@ class DeviceSampler:
             xx = 2 * jax.random.randint(k_x, (M,), 0, (W - P) // 2 + 1)
 
             if discard and M > B:
-                rgb = jax.vmap(slice_rgb)(idx, yy, xx)
+                rgb = shard(jax.vmap(slice_rgb)(idx, yy, xx))
                 var = jnp.var(rgb.astype(jnp.float32) / 255.0, axis=(1, 2, 3))
                 u = jax.random.uniform(k_u, (M,))
                 score = jnp.where(var >= FLAT_VARIANCE_THRESHOLD, 1.0 + u, var)
@@ -113,7 +146,7 @@ class DeviceSampler:
 
             raw = (jax.vmap(slice_raw)(idx, yy // 2, xx // 2)
                    if has_x else None)
-            return raw, rgb
+            return shard(raw), shard(rgb)
 
         return sample
 

@@ -116,17 +116,17 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
     sampler = None
     scan_cache = {}
     if device_data:
-        if parallel is not None:
-            raise ValueError('device_data currently targets the single-chip '
-                             'path; use the host prefetcher with --devices')
         if training['augmentation_probs'].get('resize', 0) > 0:
             raise ValueError('the resize augmentation is host-only; disable it '
                              'or drop --device-data')
         from neural_imaging_tpu.data.device_sampler import DeviceSampler
         sampler = DeviceSampler(data, training['batch_size'],
-                                training['patch_size'], discard='flat')
+                                training['patch_size'], discard='flat',
+                                sharding=(parallel.batch_sharding
+                                          if parallel is not None else None))
         print(f'Training from device-resident data ({sampler.n_images} images '
-              'in HBM, scanned multi-epoch steps)')
+              'in HBM, scanned multi-epoch steps'
+              + (f', {parallel.describe()})' if parallel is not None else ')'))
 
     n_batches = data['training']['y'].shape[0] // training['batch_size']
     v_batches = data['validation']['y'].shape[0] // training['batch_size']

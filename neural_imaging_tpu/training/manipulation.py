@@ -57,7 +57,8 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
 
     ``device_data=True`` uploads the full training set to HBM once and samples
     patches in-graph (data.device_sampler.DeviceSampler) — zero host→device
-    traffic in the hot loop; the fastest single-chip path.
+    traffic in the hot loop; the fastest path. Composes with ``parallel``
+    (replicated images, shard-constrained batches → SPMD scanned steps).
     """
     dirs = {'root': './data/m/', 'nip_snapshots': './data/models/nip/'}
     if directories is not None:
@@ -199,14 +200,14 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
         sampler = None
         scan_cache = {}
         if device_data:
-            if parallel is not None:
-                raise ValueError('device_data currently targets the single-chip '
-                                 'path; use the host prefetcher with --devices')
             from neural_imaging_tpu.data.device_sampler import DeviceSampler
             sampler = DeviceSampler(data, training['batch_size'],
-                                    2 * training['patch_size'], discard='flat')
+                                    2 * training['patch_size'], discard='flat',
+                                    sharding=(parallel.batch_sharding
+                                              if parallel is not None else None))
             logger.info('Training from device-resident data (%d images in HBM, '
-                        'scanned multi-epoch steps)', sampler.n_images)
+                        'scanned multi-epoch steps%s)', sampler.n_images,
+                        ', ' + parallel.describe() if parallel is not None else '')
 
         def scanned_epoch(epoch, lr):
             """Train up to the next validation/lr boundary in ONE jitted

@@ -70,8 +70,10 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
     so the same jitted step runs SPMD with gradient all-reduces over ICI.
 
     ``device_data``: upload the full training set to HBM once and sample
-    patches in-graph (zero host→device traffic per step — the fastest
-    single-chip path; data.device_sampler.DeviceSampler)."""
+    patches in-graph (zero host→device traffic per step — the fastest path;
+    data.device_sampler.DeviceSampler). Composes with ``parallel``: the images
+    are replicated over the mesh and the sampled batch is shard-constrained on
+    its leading axis, so the scanned steps run SPMD."""
     if data is None:
         raise ValueError('Training data seems not to be loaded!')
     if parallel is not None:
@@ -179,13 +181,13 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
     sampler = None
     scan_cache = {}
     if device_data:
-        if parallel is not None:
-            raise ValueError('device_data currently targets the single-chip '
-                             'path; use the host prefetcher with --devices')
         from neural_imaging_tpu.data.device_sampler import DeviceSampler
-        sampler = DeviceSampler(data, batch_size, 2 * patch_size, discard=discard)
+        sampler = DeviceSampler(data, batch_size, 2 * patch_size, discard=discard,
+                                sharding=(parallel.batch_sharding
+                                          if parallel is not None else None))
         print(f'Training from device-resident data ({sampler.n_images} images in '
-              'HBM, scanned multi-epoch steps)')
+              'HBM, scanned multi-epoch steps'
+              + (f', {parallel.describe()})' if parallel is not None else ')'))
 
     def scanned_epoch(epoch, lr):
         """Train up to the next validation/lr-schedule boundary in ONE jitted

@@ -188,6 +188,105 @@ class TestTrainerParallelParity:
         with pytest.raises(ValueError):
             dp.check_batch(10)
 
+
+class TestScannedDeviceDataParallel:
+    """--device-data composed with --devices: the device-resident lax.scan
+    trainers run SPMD (images replicated on the mesh, sampled batches
+    shard-constrained). The sample stream is key-deterministic, so losses must
+    match the single-device scan up to reduction order."""
+
+    def _samplers(self, tmp_path, mesh8, load, batch, patch, **kw):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        from neural_imaging_tpu.parallel.train import DataParallel
+        dp = DataParallel(mesh8)
+        data = _tiny_dataset(tmp_path, load=load, **kw)
+        single = DeviceSampler(data, batch, patch)
+        sharded = DeviceSampler(data, batch, patch, sharding=dp.batch_sharding)
+        return single, sharded, dp
+
+    def test_sampler_draws_match_across_mesh(self, tmp_path, mesh8):
+        """Same key → identical batches whether or not the sampler is meshed."""
+        single, sharded, _ = self._samplers(tmp_path, mesh8, 'xy', 8, 16)
+        raw_s, rgb_s = single(3)
+        raw_m, rgb_m = sharded(3)
+        assert len(raw_m.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(raw_m), np.asarray(raw_s))
+        np.testing.assert_array_equal(np.asarray(rgb_m), np.asarray(rgb_s))
+
+    def test_nip_training_scan_mesh_parity(self, tmp_path, mesh8):
+        from neural_imaging_tpu.models import pipelines
+        single, sharded, dp = self._samplers(tmp_path, mesh8, 'xy', 8, 16)
+
+        m1 = pipelines.INet(patch_size=8)
+        losses1 = np.asarray(m1.training_scan(single, 6, 1e-4))
+        m2 = pipelines.INet(patch_size=8)
+        dp.distribute(m2)
+        losses2 = np.asarray(m2.training_scan(sharded, 6, 1e-4))
+
+        np.testing.assert_allclose(losses2, losses1, rtol=2e-3)
+        assert jax.tree.leaves(m2.params)[0].sharding.is_fully_replicated
+
+    def test_dcn_training_scan_mesh_parity(self, tmp_path, mesh8):
+        from neural_imaging_tpu.models.compression import TwitterDCN
+        single, sharded, dp = self._samplers(tmp_path, mesh8, 'y', 8, 32,
+                                             val_patch=32)
+        d1 = TwitterDCN(patch_size=32, n_features=4)
+        l1 = np.asarray(d1.training_scan(single, 4)['loss'])
+        d2 = TwitterDCN(patch_size=32, n_features=4)
+        dp.distribute(d2)
+        l2 = np.asarray(d2.training_scan(sharded, 4)['loss'])
+        np.testing.assert_allclose(l2, l1, rtol=2e-3)
+
+    def test_workflow_training_scan_mesh_parity(self, tmp_path, mesh8):
+        from neural_imaging_tpu.parallel.train import DataParallel
+        from neural_imaging_tpu.workflows import ManipulationClassification
+
+        def build():
+            return ManipulationClassification(
+                'INet', manipulations=['sharpen:1'],
+                distribution={'downsampling': 'pool:2', 'compression': 'jpeg',
+                              'compression_params': {'quality': 50, 'codec': 'soft'}},
+                fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0},
+                trainable={'nip'}, raw_patch_size=16)
+
+        single, sharded, dp = self._samplers(tmp_path, mesh8, 'xy', 8, 32)
+        f1 = build()
+        l1, _ = f1.training_scan(single, 4, lambda_nip=0.1)
+        f2 = build()
+        dp.distribute(f2)
+        l2, _ = f2.training_scan(sharded, 4, lambda_nip=0.1)
+        f1.assert_finite()
+        f2.assert_finite()
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=2e-3)
+
+    def test_train_nip_model_device_data_on_mesh(self, tmp_path, mesh8):
+        """The trainer loop accepts BOTH flags together and matches the
+        single-device device-data loss trajectory."""
+        from neural_imaging_tpu.models import pipelines
+        from neural_imaging_tpu.parallel.train import DataParallel
+        from neural_imaging_tpu.training.pipeline import train_nip_model
+
+        losses = {}
+        for name, parallel in (('single', None), ('mesh', DataParallel(mesh8))):
+            data = _tiny_dataset(tmp_path, load='xy')
+            model = pipelines.INet(patch_size=8)
+            train_nip_model(model, 'cam', n_epochs=3, validation_schedule=2,
+                            patch_size=8, batch_size=8, data=data,
+                            out_directory_root=str(tmp_path / f'dd-{name}'),
+                            parallel=parallel, device_data=True)
+            losses[name] = model.performance['loss']['training']
+        np.testing.assert_allclose(losses['mesh'], losses['single'], rtol=2e-3)
+
+    def test_sampler_rejects_indivisible_batch(self, tmp_path, mesh8):
+        from neural_imaging_tpu.data.device_sampler import DeviceSampler
+        from neural_imaging_tpu.parallel.train import DataParallel
+        dp = DataParallel(mesh8)
+        data = _tiny_dataset(tmp_path, load='xy')
+        with pytest.raises(ValueError):
+            DeviceSampler(data, 6, 16, sharding=dp.batch_sharding)
+
+
+class TestDataParallelSpec:
     def test_from_spec_shrinks_to_divisor(self):
         from neural_imaging_tpu.parallel.train import DataParallel
         dp = DataParallel.from_spec(8, batch_size=12)
@@ -199,8 +298,9 @@ class TestTrainerParallelParity:
 
 class TestParallelCLI:
     def test_train_nip_cli_devices_flag(self, tmp_path):
-        """The user-facing --devices path: full CLI run on the 8-device virtual
-        mesh, artifacts + JSON contract written."""
+        """The user-facing --devices --device-data path: full CLI run on the
+        8-device virtual mesh through the scanned device-resident trainer,
+        artifacts + JSON contract written."""
         import json
         import os
         import subprocess
@@ -220,7 +320,7 @@ class TestParallelCLI:
             [sys.executable, os.path.join(repo, 'train_nip.py'),
              '--data', cam_dir, '--cam', 'SynthCam', '--nip', 'INet',
              '--split', '8:8:1', '--epochs', '3', '--val-schedule', '2',
-             '--patch', '8', '--batch', '8', '--devices', '8',
+             '--patch', '8', '--batch', '8', '--devices', '8', '--device-data',
              '--out', str(tmp_path / 'models')],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=repo, timeout=600)
