@@ -65,16 +65,18 @@ def main():
         loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
     jax.block_until_ready(loss)
 
-    best = float('inf')
+    windows = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
         jax.block_until_ready(loss)
-        best = min(best, time.perf_counter() - t0)
+        windows.append(ITERS / (time.perf_counter() - t0))
     flow.assert_finite()
 
-    steps_per_sec = ITERS / best
+    steps_per_sec = max(windows)  # best window (tunnel latency is one-sided noise)
+    mean = sum(windows) / len(windows)
+    stddev = (sum((w - mean) ** 2 for w in windows) / len(windows)) ** 0.5
 
     # XLA cost analysis of the SAME compiled step (cache hit on re-lower) →
     # FLOPs/step and achieved MFU / HBM-bandwidth fraction vs the chip's peaks.
@@ -103,6 +105,11 @@ def main():
         'value': round(steps_per_sec, 3),
         'unit': 'steps/s',
         'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+        # the reference publishes no throughput numbers; vs_baseline divides by
+        # an ESTIMATED 2 steps/s TF2-GPU figure (module docstring)
+        'baseline_is_estimate': True,
+        'windows': [round(w, 2) for w in windows],
+        'stddev': round(stddev, 3),
         **extras,
     }))
 

@@ -236,4 +236,104 @@ int ljpeg_encode_scan(const int32_t* diffs, long n,
     return bw.n;
 }
 
+// Decode a Nikon type-34713 compressed NEF bitstream (the entropy coding
+// behind Compression=34713; publicly documented via dcraw's nikon_load_raw).
+// Differences from SOF3: raw MSB-first bitstream (no 0xFF stuffing, no
+// markers); fixed Huffman trees whose symbols pack (shl << 4 | len); the
+// first two columns of each row predict vertically from the same-parity row
+// two above (vpred), all other columns predict from the same-CFA-column
+// sample two to the left (hpred); decoded values pass through a
+// linearization curve (identity for the lossless variant).
+//   bits16/huffval/table_size:     tree for rows [0, split)
+//   bits16_b/huffval_b/table_b:    tree for rows [split, lines) (lossy-split
+//                                  files; pass split=0 to use tree A throughout)
+//   vpred_init: 4 shorts [row&1][col]
+//   curve/curve_len: linearization LUT (applied as curve[clamp(v)])
+// Returns 0, or <0 on malformed data.
+int nikon_decode_scan(const uint8_t* data, int len,
+                      const uint8_t* bits16, const uint8_t* huffval, int table_size,
+                      const uint8_t* bits16_b, const uint8_t* huffval_b, int table_b,
+                      int lines, int width, int split,
+                      const int32_t* vpred_init,
+                      const uint16_t* curve, int curve_len,
+                      uint16_t* out) {
+    static thread_local int16_t lut_val[1 << 16];
+    static thread_local int8_t lut_len[1 << 16];
+
+    auto build = [&](const uint8_t* bits, const uint8_t* vals, int n) -> int {
+        memset(lut_len, 0, sizeof(lut_len));
+        uint32_t code = 0;
+        int k = 0;
+        for (int length = 1; length <= 16; length++) {
+            for (int i = 0; i < bits[length - 1]; i++) {
+                if (k >= n) return -4;
+                uint32_t prefix = code << (16 - length);
+                uint32_t span = 1u << (16 - length);
+                for (uint32_t s = 0; s < span; s++) {
+                    lut_val[prefix + s] = vals[k];
+                    lut_len[prefix + s] = (int8_t)length;
+                }
+                code++;
+                k++;
+            }
+            code <<= 1;
+        }
+        return 0;
+    };
+    if (build(bits16, huffval, table_size) < 0) return -4;
+
+    // raw bitstream reader: no stuffing, zero-pad past the end
+    long pos = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    auto fill = [&]() {
+        while (nbits <= 48) {
+            uint8_t byte = (pos < len) ? data[pos++] : 0;
+            acc = (acc << 8) | byte;
+            nbits += 8;
+        }
+    };
+    auto peek16 = [&]() -> uint32_t {
+        if (nbits < 16) fill();
+        return (uint32_t)((acc >> (nbits - 16)) & 0xFFFF);
+    };
+    auto getbits = [&](int n) -> uint32_t {
+        if (n == 0) return 0;
+        if (nbits < n) fill();
+        nbits -= n;
+        return (uint32_t)((acc >> nbits) & ((1u << n) - 1));
+    };
+
+    int32_t vpred[2][2] = {{vpred_init[0], vpred_init[1]},
+                           {vpred_init[2], vpred_init[3]}};
+    for (int row = 0; row < lines; row++) {
+        if (split && row == split) {
+            if (build(bits16_b, huffval_b, table_b) < 0) return -4;
+        }
+        int32_t hpred[2] = {0, 0};
+        for (int col = 0; col < width; col++) {
+            uint32_t look = peek16();
+            int clen = lut_len[look];
+            if (clen == 0) return -4;
+            int sym = lut_val[look];
+            nbits -= clen;
+            int slen = sym & 15;
+            int shl = sym >> 4;
+            int32_t diff = 0;
+            if (slen) {
+                diff = (int32_t)((((getbits(slen - shl) << 1) + 1) << shl) >> 1);
+                if ((diff & (1 << (slen - 1))) == 0)
+                    diff -= (1 << slen) - (shl ? 0 : 1);
+            }
+            if (col < 2) hpred[col] = (vpred[row & 1][col] += diff);
+            else hpred[col & 1] += diff;
+            int32_t v = hpred[col & 1];
+            if (v < 0) v = 0;
+            if (v >= curve_len) v = curve_len - 1;
+            out[(long)row * width + col] = curve[v];
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

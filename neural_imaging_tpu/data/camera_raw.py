@@ -13,10 +13,11 @@ vendor containers, all of which are TIFF variants:
   the Canon MakerNote ColorData block (tag 0x4001) when present.
 - **NEF** (Nikon): TIFF-EP with the raw image in a SubIFD
   (Photometric=CFA). Uncompressed 12/14-bit NEFs pack samples as an MSB-first
-  bitstream; 16-bit containers are plain words. Nikon's proprietary
-  type-34713 entropy coding is *not* implemented — those files raise
-  :class:`UnsupportedRawError` with a convert-to-DNG hint (they fall through to
-  rawpy when it is installed).
+  bitstream; 16-bit containers are plain words. Nikon's type-34713 **lossless**
+  entropy coding is decoded natively (``data/nikon.py`` + the C++ scan core);
+  the lossy 34713 variants (curve + tree split) raise
+  :class:`UnsupportedRawError` with a convert-to-DNG hint (they fall through
+  to rawpy when it is installed).
 - **ARW** (Sony): TIFF-EP, uncompressed 12/14/16-bit raw SubIFD. Sony's
   cRAW/compressed variants (Compression=32767) likewise raise
   :class:`UnsupportedRawError`.
@@ -199,18 +200,27 @@ def _canon_wb_from_makernote(buf, endian, ifd0):
     return np.array([r / g, 1.0, b / g, 1.0], dtype=np.float32)
 
 
-def _find_tag_data_offset(buf, ifd_offset, endian, wanted_tag):
-    """Return the file offset of a tag's out-of-line data within one IFD."""
+def _find_tag_data_offset(buf, ifd_offset, endian, wanted_tag, data_base=0):
+    """Return the file offset of a tag's out-of-line data within one IFD.
+    ``data_base`` shifts out-of-line pointers (MakerNotes with an embedded
+    TIFF header store offsets relative to that header)."""
+    found = _find_tag_data_span(buf, ifd_offset, endian, wanted_tag, data_base)
+    return None if found is None else found[0]
+
+
+def _find_tag_data_span(buf, ifd_offset, endian, wanted_tag, data_base=0):
+    """Like :func:`_find_tag_data_offset` but returns (offset, byte_size)."""
     (n_entries,) = struct.unpack_from(endian + 'H', buf, ifd_offset)
     pos = ifd_offset + 2
     for _ in range(n_entries):
         tag, typ, count = struct.unpack_from(endian + 'HHI', buf, pos)
         if tag == wanted_tag:
             size = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2}.get(typ, 4)
-            if size * count <= 4:
-                return pos + 8
+            nbytes = size * count
+            if nbytes <= 4:
+                return pos + 8, nbytes
             (off,) = struct.unpack_from(endian + 'I', buf, pos + 8)
-            return off
+            return data_base + off, nbytes
         pos += 12
     return None
 
@@ -276,8 +286,43 @@ def read_cr2(filename):
 
 # ----------------------------------------------------------------------------------
 # NEF (Nikon) / ARW (Sony) — TIFF-EP with an uncompressed (possibly bit-packed)
-# CFA SubIFD
+# or Nikon-compressed (type 34713) CFA SubIFD
 # ----------------------------------------------------------------------------------
+
+_TAG_NIKON_COMPRESSION_META = 0x0096  # MakerNote: vpred seeds + curve block
+
+
+def _nikon_compression_meta(buf, endian, ifd0):
+    """Locate the MakerNote tag 0x0096 payload (type-34713 metadata).
+
+    Real NEF MakerNotes start with ``Nikon\\0`` followed by an embedded TIFF
+    header at +10, with tag data offsets relative to that header; synthetic
+    fixtures write a bare IFD. Returns the raw blob, or None."""
+    exif_ptr = _tag(ifd0, _TAG_EXIF_IFD)
+    if not exif_ptr:
+        return None
+    try:
+        mk_off = _find_tag_data_offset(buf, exif_ptr[0], endian, _TAG_MAKERNOTE)
+        if mk_off is None:
+            return None
+        if buf[mk_off:mk_off + 5] == b'Nikon':
+            base = mk_off + 10
+            order = buf[base:base + 2]
+            mk_endian = '<' if order == b'II' else '>' if order == b'MM' else None
+            if mk_endian is None:
+                return None
+            (first_ifd,) = struct.unpack_from(mk_endian + 'I', buf, base + 4)
+            span = _find_tag_data_span(buf, base + first_ifd, mk_endian,
+                                       _TAG_NIKON_COMPRESSION_META, data_base=base)
+        else:  # bare Nikon IFD (same endianness, absolute offsets)
+            span = _find_tag_data_span(buf, mk_off, endian,
+                                       _TAG_NIKON_COMPRESSION_META)
+    except struct.error:
+        return None
+    if span is None:
+        return None
+    off, nbytes = span
+    return buf[off:off + nbytes]
 
 def _read_tiff_ep_raw(filename, default_cfa, vendor):
     buf, endian, first_ifd = _open_tiff(filename)
@@ -291,15 +336,18 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
         raise DNGError(f'No CFA raw IFD found in this {vendor} file')
 
     compression = _tag(raw_ifd, _TAG_COMPRESSION, (_COMPRESSION_NONE,))[0]
+    nikon_meta = None
     if compression == _COMPRESSION_NIKON:
-        raise UnsupportedRawError(
-            'Nikon type-34713 compressed NEF is not natively supported; '
-            'convert to DNG (lossless JPEG) for native ingestion.')
+        nikon_meta = _nikon_compression_meta(buf, endian, ifds[0])
+        if nikon_meta is None:
+            raise UnsupportedRawError(
+                'Nikon type-34713 NEF carries no MakerNote compression '
+                'metadata (tag 0x0096); convert to DNG for native ingestion.')
     if compression == _COMPRESSION_SONY:
         raise UnsupportedRawError(
             'Sony compressed ARW (cRAW) is not natively supported; convert to '
             'DNG for native ingestion.')
-    if compression not in (_COMPRESSION_NONE,):
+    if compression not in (_COMPRESSION_NONE, _COMPRESSION_NIKON):
         raise UnsupportedRawError(
             f'{vendor} compression={compression} is not natively supported.')
 
@@ -315,7 +363,13 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
     data = b''.join(buf[o:o + c] for o, c in zip(offsets, counts))
 
     n = width * length
-    if len(data) >= 2 * n:
+    if nikon_meta is not None:
+        from neural_imaging_tpu.data import nikon
+        try:
+            mosaic = nikon.decode(data, length, width, bits, nikon_meta, endian)
+        except nikon.NikonFormatError as e:
+            raise UnsupportedRawError(str(e)) from e
+    elif len(data) >= 2 * n:
         dtype = np.dtype(('<' if endian == '<' else '>') + 'u2')
         mosaic = np.frombuffer(data, dtype=dtype, count=n).reshape(length, width)
         mosaic = mosaic.astype(np.uint16)
@@ -487,18 +541,30 @@ def _pack_bitstream(mosaic, bits):
 
 
 def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, white,
-                   black_style='dng'):
+                   black_style='dng', compression='none'):
     """``black_style``: 'dng' emits the DNG BlackLevel tag; 'sony' the vendor
     tag 0x7310 (what real ARWs carry); 'none' omits level metadata entirely so
-    the reader's per-make default path is exercised."""
+    the reader's per-make default path is exercised.
+
+    ``compression='nikon-lossless'`` writes a type-34713 entropy-coded payload
+    plus the MakerNote tag 0x0096 metadata chain the reader must follow."""
     mosaic = np.ascontiguousarray(np.asarray(mosaic, dtype=np.uint16))
     h, w = mosaic.shape
     if mosaic.max(initial=0) >= (1 << bits):
         raise DNGError(f'mosaic exceeds the {bits}-bit container range')
-    if bits == 16:
-        pixel_data = mosaic.astype('<u2').tobytes()
+    nikon_meta = None
+    if compression == 'nikon-lossless':
+        from neural_imaging_tpu.data import nikon
+        pixel_data, nikon_meta = nikon.encode(mosaic, bits)
+        compression_tag = _COMPRESSION_NIKON
+    elif compression == 'none':
+        if bits == 16:
+            pixel_data = mosaic.astype('<u2').tobytes()
+        else:
+            pixel_data = _pack_bitstream(mosaic, bits)
+        compression_tag = _COMPRESSION_NONE
     else:
-        pixel_data = _pack_bitstream(mosaic, bits)
+        raise DNGError(f'Unknown TIFF-EP writer compression {compression}')
     if white is None:
         white = (1 << bits) - 1
 
@@ -509,12 +575,24 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
         return body + struct.pack('<I', 0) + overflow
 
     header_size = 8
+    # optional MakerNote chain (bare Nikon IFD, as _nikon_compression_meta reads)
+    mk_blob = exif_blob = b''
+    mk_off = exif_off = 0
+    if nikon_meta is not None:
+        mk_off = header_size
+        mk_blob = sized([(_TAG_NIKON_COMPRESSION_META, 7, tuple(nikon_meta))],
+                        mk_off)
+        exif_off = mk_off + len(mk_blob)
+        exif_blob = (struct.pack('<H', 1)
+                     + struct.pack('<HHII', _TAG_MAKERNOTE, 7, len(mk_blob), mk_off)
+                     + struct.pack('<I', 0))
+
     raw_entries = [
         (_TAG_NEW_SUBFILE_TYPE, _LONG, (0,)),
         (_TAG_WIDTH, _LONG, (w,)),
         (_TAG_LENGTH, _LONG, (h,)),
         (_TAG_BITS, _SHORT, (bits,)),
-        (_TAG_COMPRESSION, _SHORT, (_COMPRESSION_NONE,)),
+        (_TAG_COMPRESSION, _SHORT, (compression_tag,)),
         (_TAG_PHOTOMETRIC, _SHORT, (_PHOTOMETRIC_CFA,)),
         (_TAG_STRIP_OFFSETS, _LONG, (0,)),  # patched
         (_TAG_SAMPLES_PER_PIXEL, _SHORT, (1,)),
@@ -538,7 +616,9 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
         (_TAG_MODEL, _ASCII, camera),
         (_TAG_SUB_IFDS, _LONG, (0,)),  # patched
     ]
-    ifd0_off = header_size
+    if nikon_meta is not None:
+        ifd0_entries.append((_TAG_EXIF_IFD, _LONG, (exif_off,)))
+    ifd0_off = header_size + len(mk_blob) + len(exif_blob)
     ifd0_blob = sized(ifd0_entries, ifd0_off)
     raw_off = ifd0_off + len(ifd0_blob)
     ifd0_entries[3] = (_TAG_SUB_IFDS, _LONG, (raw_off,))
@@ -550,16 +630,18 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
 
     with open(filename, 'wb') as fh:
         fh.write(b'II' + struct.pack('<HI', 42, ifd0_off))
-        fh.write(ifd0_blob + raw_blob + pixel_data)
+        fh.write(mk_blob + exif_blob + ifd0_blob + raw_blob + pixel_data)
     return filename
 
 
 def write_nef(filename, mosaic_u16, cfa_pattern='GBRG', bits=14, black=0,
-              white=None, camera='NIKON (synthetic)', black_style='dng'):
-    """Write an uncompressed NEF-layout file (bit-packed for bits<16)."""
+              white=None, camera='NIKON (synthetic)', black_style='dng',
+              compression='none'):
+    """Write a NEF-layout file: uncompressed (bit-packed for bits<16) or
+    ``compression='nikon-lossless'`` for a type-34713 entropy-coded payload."""
     return _write_tiff_ep(filename, mosaic_u16, cfa_pattern, bits,
                           'NIKON CORPORATION', camera, black, white,
-                          black_style=black_style)
+                          black_style=black_style, compression=compression)
 
 
 def write_arw(filename, mosaic_u16, cfa_pattern='RGGB', bits=16, black=0,

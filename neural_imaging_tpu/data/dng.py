@@ -54,9 +54,9 @@ _PHOTOMETRIC_CFA = 32803
 
 # TIFF data types: id -> (struct code, size)
 _TYPES = {1: ('B', 1), 2: ('s', 1), 3: ('H', 2), 4: ('I', 4), 5: ('II', 8),
-          6: ('b', 1), 8: ('h', 2), 9: ('i', 4), 10: ('ii', 8), 11: ('f', 4),
-          12: ('d', 8)}
-_BYTE, _ASCII, _SHORT, _LONG, _RATIONAL, _SRATIONAL = 1, 2, 3, 4, 5, 10
+          6: ('b', 1), 7: ('B', 1), 8: ('h', 2), 9: ('i', 4), 10: ('ii', 8),
+          11: ('f', 4), 12: ('d', 8)}
+_BYTE, _ASCII, _SHORT, _LONG, _RATIONAL, _UNDEFINED, _SRATIONAL = 1, 2, 3, 4, 5, 7, 10
 
 _CFA_CODE = {0: 'R', 1: 'G', 2: 'B'}
 _CFA_CODE_INV = {'R': 0, 'G': 1, 'B': 2}

@@ -169,6 +169,87 @@ class TestVendorContainers:
         camera_raw.write_arw(path, mosaic, bits=16)
         assert np.array_equal(camera_raw.read_arw(path)['mosaic'], mosaic)
 
+    @pytest.mark.parametrize('bits', [12, 14])
+    def test_nef_lossless_compressed_round_trip(self, tmp_path, bits):
+        """Nikon type-34713 lossless NEF: writer emits the entropy-coded payload
+        + MakerNote tag 0x0096 metadata chain, the reader must invert it
+        (libRAW coverage parity, ref helpers/raw.py:110-181)."""
+        from neural_imaging_tpu.data import camera_raw
+        rng = np.random.default_rng(bits + 100)
+        # smooth-ish content (realistic diff statistics) + hard random corners
+        base = np.cumsum(rng.integers(-40, 41, size=(50, 62)), axis=1)
+        mosaic = np.clip(base + (1 << (bits - 1)), 0, (1 << bits) - 1).astype(np.uint16)
+        mosaic[:4, :4] = rng.integers(0, 1 << bits, size=(4, 4))
+        path = str(tmp_path / 'c.nef')
+        camera_raw.write_nef(path, mosaic, bits=bits, black=5,
+                             compression='nikon-lossless')
+        d = camera_raw.read_nef(path)
+        assert np.array_equal(d['mosaic'], mosaic)
+        assert d['black'] == 5 and d['cfa_pattern'] == 'GBRG'
+
+    def test_nef_lossless_python_native_agree(self):
+        """The pure-Python decoder is the native kernel's differential oracle."""
+        from neural_imaging_tpu.data import nikon
+        rng = np.random.default_rng(77)
+        mosaic = rng.integers(0, 1 << 14, size=(24, 30)).astype(np.uint16)
+        payload, meta = nikon.encode(mosaic, 14)
+        vpred = nikon.parse_meta(meta)['vpred']
+        py = nikon._decode_python(payload, 24, 30, 14, vpred)
+        assert np.array_equal(py, mosaic)
+        native = nikon._decode_native(payload, 24, 30, 14, vpred)
+        if native is not None:  # toolchain present
+            assert np.array_equal(native, py)
+
+    def test_nef_lossless_real_style_makernote(self, tmp_path):
+        """Real NEFs wrap the MakerNote in a 'Nikon\\0' header with an embedded
+        TIFF whose tag offsets are relative to that header — the reader must
+        follow that base."""
+        import struct
+        from neural_imaging_tpu.data import camera_raw, nikon
+        rng = np.random.default_rng(9)
+        mosaic = rng.integers(0, 1 << 14, size=(20, 26)).astype(np.uint16)
+        payload, meta = nikon.encode(mosaic, 14)
+        # embedded TIFF: header(8) + IFD(2 + 12 + 4 = 18) then the meta blob
+        inner = (struct.pack('<H', 1)
+                 + struct.pack('<HHII', 0x0096, 7, len(meta), 8 + 18)
+                 + struct.pack('<I', 0))
+        emb = b'II' + struct.pack('<HI', 42, 8) + inner + meta
+        mk_payload = b'Nikon\x00\x02\x10\x00\x00' + emb
+
+        # write an uncompressed NEF, then splice: compression -> 34713,
+        # strip payload -> entropy-coded bytes, MakerNote -> the blob above
+        path = str(tmp_path / 'r.nef')
+        camera_raw.write_nef(path, mosaic, bits=14, compression='nikon-lossless')
+        blob = bytearray(open(path, 'rb').read())
+        # replace the bare-IFD MakerNote area by rewriting the whole file with
+        # the real-style blob appended and the EXIF MakerNote entry repointed
+        mk_off = len(blob)
+        blob += mk_payload
+        # EXIF IFD is right after the bare MakerNote IFD at offset 8; find its
+        # MakerNote entry (tag 37500) and repoint offset + count
+        exif_pos = blob.find(struct.pack('<HH', 37500, 7))
+        assert exif_pos > 0
+        blob[exif_pos + 4:exif_pos + 12] = struct.pack('<II', len(mk_payload), mk_off)
+        open(path, 'wb').write(bytes(blob))
+        d = camera_raw.read_nef(path)
+        assert np.array_equal(d['mosaic'], mosaic)
+
+    def test_nef_lossy_variant_rejected(self, tmp_path):
+        """Lossy 34713 versions (curve + tree split) are out of scope: clear
+        UnsupportedRawError (falls through to rawpy when installed)."""
+        from neural_imaging_tpu.data import camera_raw, nikon
+        mosaic = np.zeros((8, 8), np.uint16)
+        path = str(tmp_path / 'l.nef')
+        camera_raw.write_nef(path, mosaic, bits=14, compression='nikon-lossless')
+        blob = bytearray(open(path, 'rb').read())
+        payload, meta = nikon.encode(mosaic, 14)
+        pos = blob.find(bytes(meta[:10]))
+        assert pos > 0
+        blob[pos] = 0x44  # ver0: lossy type 2
+        open(path, 'wb').write(bytes(blob))
+        with pytest.raises(camera_raw.UnsupportedRawError, match='lossy|0x44'):
+            camera_raw.read_nef(path)
+
     def test_unpack_parity_across_containers(self, tmp_path, photo):
         """The same simulated capture written as DNG / CR2 / NEF / ARW unpacks
         to the identical normalized mosaic (WB off — NEF/ARW carry no WB)."""
