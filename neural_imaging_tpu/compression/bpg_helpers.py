@@ -45,12 +45,12 @@ def bpg_header_info(filename):
     if data[:4] != b'BPG\xfb':
         raise ValueError('Not a BPG file')
     pos = 4
-    _fmt = data[pos]; pos += 1
-    _depth = data[pos]; pos += 1
+    _fmt = data[pos]; pos += 1          # pixel_format(3) alpha1(1) depth-8(4)
+    flags = data[pos]; pos += 1         # color_space(4) ext(1) alpha2(1) range(1) anim(1)
     width, pos = _read_ue7(data, pos)
     height, pos = _read_ue7(data, pos)
     picture_data_length, pos = _read_ue7(data, pos)
-    extension_present = (data[4] >> 3) & 1
+    extension_present = (flags >> 3) & 1
     if extension_present:
         ext_len, pos = _read_ue7(data, pos)
         pos += ext_len

@@ -132,6 +132,54 @@ class TestBPGHeaderParser:
         assert bpg_helpers._read_ue7(bytes([0x05]), 0) == (5, 1)
         assert bpg_helpers._read_ue7(bytes([0x81, 0x05]), 0) == (0x85, 2)
 
+    @staticmethod
+    def _header(width, height, pdl, ext=None, payload=b''):
+        """Assemble a spec-layout BPG header (BPG spec §header_syntax):
+        magic, fmt byte, flags byte (ext flag = bit 3), ue7 dims + lengths."""
+        def ue7(v):
+            out = [v & 0x7F]
+            v >>= 7
+            while v:
+                out.append((v & 0x7F) | 0x80)
+                v >>= 7
+            return bytes(reversed(out))
+        flags = 0x08 if ext is not None else 0x00
+        blob = (b'BPG\xfb' + bytes([0x10, flags])
+                + ue7(width) + ue7(height) + ue7(pdl))
+        if ext is not None:
+            blob += ue7(len(ext)) + ext
+        return blob + payload
+
+    def test_header_fixture(self, tmp_path):
+        """Synthetic-header fixtures for bpg_header_info — the parser the R/D
+        sweep's byte accounting depends on (ref compression/bpg_helpers.py:44-61),
+        testable without the bpgenc binary."""
+        p = str(tmp_path / 'a.bpg')
+        # multi-byte ue7 dims (768 = 0x86 0x00), explicit payload length
+        open(p, 'wb').write(self._header(768, 512, 1000, payload=b'\0' * 1000))
+        info = bpg_helpers.bpg_header_info(p)
+        assert (info['width'], info['height']) == (768, 512)
+        assert info['payload_bytes'] == 1000
+
+    def test_header_zero_pdl_counts_remainder(self, tmp_path):
+        p = str(tmp_path / 'b.bpg')
+        open(p, 'wb').write(self._header(16, 16, 0, payload=b'x' * 77))
+        assert bpg_helpers.bpg_header_info(p)['payload_bytes'] == 77
+
+    def test_header_extension_block_skipped(self, tmp_path):
+        """extension_present lives in bit 3 of the SECOND header byte; the
+        extension block must not count as picture payload."""
+        p = str(tmp_path / 'c.bpg')
+        open(p, 'wb').write(self._header(16, 16, 0, ext=b'E' * 21,
+                                         payload=b'x' * 50))
+        assert bpg_helpers.bpg_header_info(p)['payload_bytes'] == 50
+
+    def test_header_rejects_non_bpg(self, tmp_path):
+        p = str(tmp_path / 'd.bpg')
+        open(p, 'wb').write(b'JUNKJUNK')
+        with pytest.raises(ValueError):
+            bpg_helpers.bpg_header_info(p)
+
     def test_roundtrip_requires_binaries(self):
         if bpg_helpers.bpg_available():
             pytest.skip('binaries present; round trip covered elsewhere')
