@@ -158,6 +158,97 @@ def utilization(flops_per_step, bytes_per_step, seconds_per_step, device=None):
     return out
 
 
+_DTYPE_BYTES = {'f64': 8, 's64': 8, 'u64': 8, 'f32': 4, 's32': 4, 'u32': 4,
+                'bf16': 2, 'f16': 2, 's16': 2, 'u16': 2, 's8': 1, 'u8': 1,
+                'pred': 1, 'f8e4m3fn': 1, 'f8e5m2': 1}
+
+
+def _shape_bytes(shape_str):
+    """Bytes of one HLO shape string, e.g. 'f32[20,256,256,3]{3,2,1,0}' or a
+    tuple '(f32[8]{0}, bf16[2,2]{1,0})'. Token types (s32[]) count their scalar."""
+    import re
+    total = 0
+    for dt, dims in re.findall(r'(\w+)\[([\d,]*)\]', shape_str):
+        size = _DTYPE_BYTES.get(dt, 4)
+        n = 1
+        for d in dims.split(','):
+            if d:
+                n *= int(d)
+        total += n * size
+    return total
+
+
+def hlo_traffic(jitted_or_fn, *args, top=30):
+    """Per-instruction HBM-traffic ranking of a compiled program.
+
+    Parses the post-optimization HLO's ENTRY computation and scores every
+    instruction by output bytes + operand bytes — a logical-traffic proxy that
+    (post-fusion) approximates physical HBM reads/writes per instruction. Each
+    entry carries the originating JAX op (HLO metadata op_name), so the ranking
+    attributes bytes to model components. Returns a list of dicts sorted by
+    bytes (descending), truncated to ``top``; aggregate totals ride on the
+    first entry ('total_bytes', 'n_instructions').
+
+    This is the "where do the 28 GB/step actually go" tool the roofline
+    analysis in docs/benchmarks.md calls for — cost_analysis() gives only the
+    aggregate."""
+    import re
+
+    import jax
+    fn = jitted_or_fn
+    if not hasattr(fn, 'lower'):
+        fn = jax.jit(fn)
+    compiled = fn.lower(*args).compile()
+    text = compiled.as_text()
+
+    # isolate the ENTRY computation (instructions elsewhere are fusion bodies —
+    # VMEM-resident, not HBM traffic)
+    m = re.search(r'^ENTRY [^{]*\{(.*?)^\}', text, re.S | re.M)
+    if m is None:
+        raise ValueError('Could not locate the ENTRY computation in the HLO')
+    entry = m.group(1)
+
+    # first pass: instruction name -> result shape
+    inst_re = re.compile(
+        r'^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\)|[\w]+\[[^\]]*\](?:\{[^}]*\})?))\s+'
+        r'([\w\-]+)\(', re.M)
+    shapes = {}
+    for m2 in inst_re.finditer(entry):
+        shapes[m2.group(1)] = m2.group(2)
+
+    records = []
+    total = 0
+    for match in inst_re.finditer(entry):
+        name, shape, opcode = match.groups()
+        line_end = entry.find('\n', match.start())
+        line = entry[match.start():line_end if line_end > 0 else None]
+        out_bytes = _shape_bytes(shape)
+        # operand bytes: resolve referenced instruction names. The operand list
+        # starts exactly at the regex end (just past the opcode's '(') — layout
+        # annotations like {1,0:T(8,128)} contain parens, so searching the line
+        # for '(' is wrong.
+        operands = 0
+        oplist = entry[match.end():entry.find(')', match.end())]
+        for ref in re.findall(r'%([\w.\-]+)', oplist):
+            if ref in shapes and ref != name:
+                operands += _shape_bytes(shapes[ref])
+        if opcode in ('parameter', 'constant', 'get-tuple-element', 'tuple',
+                      'bitcast'):
+            continue  # aliases/bookkeeping, not traffic
+        meta = re.search(r'op_name="([^"]*)"', line)
+        records.append({'name': name, 'op': opcode,
+                        'bytes': out_bytes + operands,
+                        'out_bytes': out_bytes,
+                        'op_name': meta.group(1) if meta else ''})
+        total += out_bytes + operands
+
+    records.sort(key=lambda r: -r['bytes'])
+    out = records[:top]
+    if out:
+        out[0] = dict(out[0], total_bytes=total, n_instructions=len(records))
+    return out
+
+
 def compiled_stats(fn, *args, **kwargs):
     """Compile a jittable fn and return XLA cost analysis (FLOPs, bytes accessed)
     plus compile memory stats when the backend reports them."""

@@ -194,6 +194,24 @@ class TestProfiling:
         stats = compiled_stats(lambda x: x @ x, jnp.ones((64, 64)))
         assert isinstance(stats, dict)
 
+    def test_hlo_traffic_ranking(self):
+        """Per-instruction traffic report: the matmul must rank first and its
+        byte count must equal operands + output exactly."""
+        import jax.numpy as jnp
+        import numpy as np
+        from neural_imaging_tpu.utils.profiling import hlo_traffic
+
+        def f(x, w):
+            return jnp.tanh(x @ w).sum()
+
+        x = np.ones((256, 512), np.float32)
+        w = np.ones((512, 128), np.float32)
+        rep = hlo_traffic(f, x, w, top=4)
+        assert rep and rep[0]['total_bytes'] > 0
+        by_op = {r['op_name']: r for r in rep}
+        dot = next(r for k, r in by_op.items() if 'dot' in k)
+        assert dot['bytes'] == (256 * 512 + 512 * 128 + 256 * 128) * 4
+
 
 class TestScannedDeviceDataTraining:
     """The lax.scan multi-step trainers with in-graph sampling (device_data):
