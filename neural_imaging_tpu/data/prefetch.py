@@ -26,11 +26,13 @@ def prefetch(generator, size=2, device_put=True, sharding=None):
     def put(batch):
         if not device_put:
             return batch
-        import jax
+        # multi-process aware placement: slices batch-sharded arrays to this
+        # process's rows and assembles the global jax.Array
+        from neural_imaging_tpu.parallel.mesh import put_global
         if isinstance(batch, tuple):
-            return tuple(jax.device_put(b, sharding) if b is not None else None
+            return tuple(put_global(b, sharding) if b is not None else None
                          for b in batch)
-        return jax.device_put(batch, sharding)
+        return put_global(batch, sharding)
 
     def worker():
         try:

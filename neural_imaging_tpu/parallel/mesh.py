@@ -44,21 +44,39 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(batch, mesh, axis='data'):
-    """Place a host batch onto the mesh, split along the leading axis.
+    """Place the GLOBAL host batch onto the mesh, split along the leading axis.
 
-    Single-process: ``batch`` is the global batch (device_put splits it).
-    Multi-process: ``batch`` is THIS process's slice of the global batch (see
-    multihost.local_batch_slice); the pieces are assembled into one global
-    jax.Array without any cross-host data movement."""
-    sharding = batch_sharding(mesh, axis)
+    Single-process: device_put splits it locally. Multi-process: every process
+    passes the same global batch (datasets are deterministic per-process); this
+    process's slice is cut out here and the slices are assembled into one
+    global jax.Array without any cross-host data movement."""
+    return put_global(batch, batch_sharding(mesh, axis))
+
+
+def put_global(batch, sharding):
+    """device_put that is multi-process aware: batch-sharded inputs are sliced
+    to this process's rows first (multihost.local_batch_slice), replicated
+    inputs are provided whole by every process."""
+    if sharding is None:
+        return jax.device_put(batch)
     if jax.process_count() > 1:
-        return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
+        batch = np.asarray(batch)
+        if not sharding.is_fully_replicated:
+            from neural_imaging_tpu.parallel import multihost
+            start, size = multihost.local_batch_slice(batch.shape[0])
+            batch = batch[start:start + size]
+        return jax.make_array_from_process_local_data(sharding, batch)
     return jax.device_put(batch, sharding)
 
 
 def replicate(tree, mesh):
     """Replicate a pytree (params / optimizer state) across the mesh."""
-    return jax.device_put(tree, replicated_sharding(mesh))
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            tree)
+    return jax.device_put(tree, sharding)
 
 
 def spatial_sharding(mesh, axis='space'):

@@ -78,6 +78,12 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
         raise ValueError('Training data seems not to be loaded!')
     if parallel is not None:
         parallel.check_batch(batch_size)
+    # Multi-host: every process runs the SAME program (SPMD multi-controller)
+    # on the same deterministic dataset; only the primary writes artifacts.
+    # Validation metrics are identical across processes, so the lr back-off /
+    # early-stop control flow stays in lockstep without synchronization.
+    from neural_imaging_tpu.parallel import multihost
+    primary = multihost.is_primary()
 
     # sanity-check the dataset interface before entering the loop
     try:
@@ -233,21 +239,29 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
 
             if epoch % validation_schedule == 0:
                 flush_pending()
-                ssims, psnrs, v_losses, _ = validate(model, data, out_directory, True,
-                                                     epoch, True, model.loss_metric)
+                ssims, psnrs, v_losses, _ = validate(model, data, out_directory,
+                                                     primary, epoch, True,
+                                                     model.loss_metric)
                 model.log_metric('ssim', 'validation', ssims)
                 model.log_metric('psnr', 'validation', psnrs)
                 model.log_metric('loss', 'validation', v_losses)
 
                 training_summary['Epoch'] = epoch
-                save_progress(model, training_summary, out_directory)
+                if primary:
+                    save_progress(model, training_summary, out_directory)
 
                 val_losses = model.performance['loss']['validation']
                 if not save_best or (len(val_losses) > 2 and val_losses[-1] <= min(val_losses)):
                     training_summary['Saved checkpoint'] = epoch
-                    model.save_model(out_directory, epoch, quiet=True)
+                    if primary:
+                        model.save_model(out_directory, epoch, quiet=True)
                     try:  # full training state (params + Adam moments) for
-                        # shock-free resume; portable npz stays the contract
+                        # shock-free resume; portable npz stays the contract.
+                        # Orbax must run on EVERY process — it synchronizes
+                        # across hosts internally (a primary-only call leaves
+                        # the others at the next train step's all-reduce:
+                        # cross-process deadlock, measured via gloo timeouts
+                        # in tests/test_multihost.py)
                         model.save_checkpoint(out_directory, step=epoch)
                     except Exception as e:
                         print(f'orbax checkpoint skipped: {e}')
@@ -281,7 +295,9 @@ def train_nip_model(model, camera_name, n_epochs=10000, lr_schedule=None,
     val_losses = model.performance['loss']['validation']
     if not save_best or (val_losses and val_losses[-1] <= min(val_losses)):
         training_summary['Saved checkpoint'] = epoch
-        model.save_model(out_directory, epoch)
-    show_progress(model, out_directory)
-    save_progress(model, training_summary, out_directory)
+        if primary:
+            model.save_model(out_directory, epoch)
+    if primary:
+        show_progress(model, out_directory)
+        save_progress(model, training_summary, out_directory)
     return out_directory

@@ -2,15 +2,21 @@
 Real multi-process jax.distributed coverage: launches 2 CPU processes (2 virtual
 devices each -> a 4-device global mesh) and checks every non-noop branch of
 parallel/multihost.py — initialize, global_mesh, local_batch_slice, primary_only,
-sync_global_value, and a cross-process SPMD reduction.
+sync_global_value, and a cross-process SPMD reduction — plus a full trainer CLI
+run (train_nip.py --coordinator/--nproc/--procid) as two CPU processes.
 """
+import json
 import os
 import socket
 import subprocess
 import sys
 
+import numpy as np
+import pytest
+
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       'support', 'multihost_worker.py')
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _free_port():
@@ -49,3 +55,83 @@ def test_two_process_distributed():
 
     assert 'CHECK primary True ran' in outputs[0]
     assert 'CHECK primary False None' in outputs[1]
+
+
+def _trainer_env(n_local_devices=1):
+    env = dict(os.environ)
+    env['NI_TPU_PLATFORM'] = 'cpu'
+    env['NI_TPU_CACHE_DIR'] = '0'
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = f'--xla_force_host_platform_device_count={n_local_devices}'
+    return env
+
+
+def _train_nip_cmd(data_dir, out_dir, extra=()):
+    return [sys.executable, os.path.join(REPO, 'train_nip.py'),
+            '--nip', 'INet', '--cam', 'SyntheticCam', '--data', data_dir,
+            '--split', '2:2:1', '--epochs', '21', '--patch', '16',
+            '--batch', '2', '--val-schedule', '10', '--out', out_dir,
+            *extra]
+
+
+def test_two_process_trainer_e2e(tmp_path):
+    """The full train_nip.py CLI under --coordinator/--nproc/--procid: both
+    processes complete, host-side artifacts (npz/progress.json/figures) are
+    written exactly once by the primary (asserted via the save log lines) while
+    orbax checkpointing runs on every process (it synchronizes across hosts
+    internally — a primary-only call deadlocks the others at the next
+    all-reduce), and the loss trajectory matches a single-process run of the
+    same global batch."""
+    data_dir = str(tmp_path / 'data')
+    from neural_imaging_tpu.data import fixtures
+    fixtures.make_dataset(data_dir, n_images=4, height=64, width=96, seed=500)
+
+    # single-process reference trajectory
+    single_out = str(tmp_path / 'single')
+    p = subprocess.run(_train_nip_cmd(data_dir, single_out), env=_trainer_env(),
+                       capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+
+    # two-process run: 1 CPU device per process -> 2-device global mesh,
+    # shared --out (the realistic shared-filesystem layout)
+    port = _free_port()
+    multi_out = str(tmp_path / 'multi')
+    procs = [subprocess.Popen(
+        _train_nip_cmd(data_dir, multi_out,
+                       extra=['--coordinator', f'127.0.0.1:{port}',
+                              '--nproc', '2', '--procid', str(pid)]),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=_trainer_env()) for pid in range(2)]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f'worker {pid} failed:\n{out[-4000:]}'
+
+    run_dir = os.path.join(multi_out, 'SyntheticCam', 'INet_gbrg_5x5', 'inet')
+    assert os.path.isfile(os.path.join(run_dir, 'progress.json'))
+    assert os.path.isfile(os.path.join(run_dir, 'inet.npz'))
+    # primary_only writes: the npz save log must appear on process 0 ONLY
+    assert '--> ' in outputs[0]
+    assert '--> ' not in outputs[1], outputs[1][-2000:]
+
+    with open(os.path.join(run_dir, 'progress.json')) as fh:
+        multi = json.load(fh)
+    with open(os.path.join(single_out, 'SyntheticCam', 'INet_gbrg_5x5', 'inet',
+                           'progress.json')) as fh:
+        single = json.load(fh)
+    m_loss = np.asarray(multi['performance']['loss']['training'], np.float64)
+    s_loss = np.asarray(single['performance']['loss']['training'], np.float64)
+    assert m_loss.shape == s_loss.shape
+    # identical global batches; only the reduction order differs (psum over
+    # 2 devices vs a single-device mean)
+    np.testing.assert_allclose(m_loss, s_loss, rtol=2e-3, atol=1e-6)
+    m_psnr = np.asarray(multi['performance']['psnr']['validation'], np.float64)
+    s_psnr = np.asarray(single['performance']['psnr']['validation'], np.float64)
+    np.testing.assert_allclose(m_psnr, s_psnr, rtol=1e-3)
