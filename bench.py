@@ -9,8 +9,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Configuration: the throughput setting validated by the quality gates — bfloat16
 distribution channel + FAN (E2E gate `train-manipulation-bf16`), INet convs at
-HIGH (bf16x3) MXU precision (joint-run quality parity, docs/benchmarks.md).
-The all-f32 parity-default number is reported in docs/benchmarks.md alongside.
+DEFAULT (bf16) MXU precision. Joint-run quality parity for DEFAULT vs HIGH was
+measured in round 4 (docs/quality_runs.md: pooled JPEG-50 hard regime, joint
+λ=0.005 — final accuracy 0.620 vs 0.620, NIP 34.87 vs 34.91 dB); the all-f32
+parity-default number is reported in docs/benchmarks.md alongside.
 
 The reference publishes no throughput numbers (BASELINE.md); `vs_baseline` is
 computed against REFERENCE_STEPS_PER_SEC — an *estimate* of a TF2-GPU baseline
@@ -51,7 +53,7 @@ def main():
         trainable={'nip'},
         raw_patch_size=RAW_PATCH,
         channel_dtype='bfloat16',
-        nip_args={'conv_precision': 'high'})
+        nip_args={'conv_precision': 'default'})
     # defer the NaN guard to the end so host dispatch pipelines with device compute
     flow.nan_check = False
 

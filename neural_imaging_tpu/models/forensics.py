@@ -20,8 +20,16 @@ from neural_imaging_tpu.utils import paramspec
 
 
 class ConstrainedConv(nn.Module):
-    """Trainable constrained residual filter (5, 5, 3, 3)."""
+    """Trainable constrained residual filter (5, 5, 3, 3).
+
+    ``dtype`` selects the conv's compute path: float32 keeps the exact-f32 VPU
+    formulation (ops.small_conv2d); bfloat16 runs one MXU conv in bf16 —
+    measured as the single largest HBM-traffic term of the joint train step
+    when left on the 25-tap VPU path (profiling.hlo_traffic: 2×~500 MB/step,
+    the k² shifted slices materialize around the select-and-scatter barrier).
+    The kernel constraint itself is always renormalized in f32."""
     filter_strength: float = 100.0
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -40,6 +48,10 @@ class ConstrainedConv(nn.Module):
         nf = self.filter_strength * nf / denom
         nf = nf - self.filter_strength * mask
 
+        if self.dtype == jnp.bfloat16:
+            xp = ops.pad2d(x.astype(jnp.bfloat16), 2, 'symmetric')
+            return ops.conv2d(xp, nf.astype(jnp.bfloat16), padding='VALID',
+                              precision=jax.lax.Precision.DEFAULT)
         xp = ops.pad2d(x, 2, 'symmetric')
         return ops.small_conv2d(xp, nf, padding='VALID')
 
@@ -61,7 +73,7 @@ class FANCore(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         act = ops.ACTIVATIONS[self.activation]
-        h = ConstrainedConv(name='constrained')(x)
+        h = ConstrainedConv(name='constrained', dtype=self.dtype)(x)
         h = h.astype(self.dtype)
 
         n_filters = self.n_filters

@@ -57,8 +57,10 @@ def _pallas_jpeg_wins(shape):
     return on_tpu and min(shape[1], shape[2]) >= 256
 
 
-@functools.partial(jax.jit, static_argnames=('rounding', 'taylor_terms', 'impl'))
-def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5, impl='auto'):
+@functools.partial(jax.jit, static_argnames=('rounding', 'taylor_terms', 'impl',
+                                             'precision'))
+def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5, impl='auto',
+                 precision=None):
     """
     Differentiable JPEG round-trip.
 
@@ -67,20 +69,26 @@ def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5, impl='aut
     :param rounding: 'soft' | 'sin' | 'harmonic'
     :param impl: 'auto' (measured fastest path for the shape/backend) |
                  'xla' | 'pallas'
+    :param precision: matmul precision for the DCT/color transforms; None pins
+        HIGHEST (the ≤0.1 dB oracle-parity default). A bfloat16 distribution
+        channel may pass ``jax.lax.Precision.DEFAULT`` — there the codec only
+        simulates channel lossiness, and bf16 inputs make HIGHEST's multi-pass
+        emulation pure overhead.
     :return: (y, X) — compressed image in [0,1] and dequantized DCT coefficients
              (N, 3, H/8, W/8, 8, 8)
     """
     if impl == 'auto':
-        impl = 'pallas' if (rounding == 'soft' and _pallas_jpeg_wins(x.shape)) else 'xla'
+        impl = 'pallas' if (rounding == 'soft' and precision is None
+                            and _pallas_jpeg_wins(x.shape)) else 'xla'
     if impl == 'pallas':
         from neural_imaging_tpu.ops.pallas.jpeg8x8 import jpeg_forward_pallas
         y, X = jpeg_forward_pallas(x.astype(jnp.float32), q_luma, q_chroma)
         return y.astype(x.dtype), X
 
-    ycc = color.rgb_to_ycbcr(255.0 * x) - 127.0
+    ycc = color.rgb_to_ycbcr(255.0 * x, precision=precision) - 127.0
 
     blocks = dct.blockify(ycc, 8)                      # (N, 3, hb, wb, 8, 8)
-    X = dct.dct2d(blocks)
+    X = dct.dct2d(blocks, precision=precision)
 
     # Per-channel tables: luma for Y, chroma for Cb/Cr — one gather, no tiling
     Q = jnp.stack([q_luma, q_chroma, q_chroma]).astype(x.dtype)   # (3, 8, 8)
@@ -88,8 +96,8 @@ def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5, impl='aut
 
     Xq = quant.quantize(X / Q, rounding, taylor_terms=taylor_terms) * Q
 
-    y = dct.deblockify(dct.idct2d(Xq))
-    y = color.ycbcr_to_rgb(y + 127.0) / 255.0
+    y = dct.deblockify(dct.idct2d(Xq, precision=precision))
+    y = color.ycbcr_to_rgb(y + 127.0, precision=precision) / 255.0
     return jnp.clip(y, 0.0, 1.0), Xq
 
 

@@ -17,18 +17,20 @@ _I_MATRIX = jnp.array([[1.0, 0.0, 1.402],
 _I_OFFSET = jnp.array([-1.402 * 128, 1.058272 * 128, -1.772 * 128], dtype=jnp.float32)
 
 
-def rgb_to_ycbcr(x255):
+def rgb_to_ycbcr(x255, precision=None):
     """255-scaled RGB → YCbCr (Y in [0,255], Cb/Cr centered at 128)."""
     import jax
     return jnp.einsum('...c,kc->...k', x255, _F_MATRIX.astype(x255.dtype),
-                      precision=jax.lax.Precision.HIGHEST) + _F_OFFSET.astype(x255.dtype)
+                      precision=precision or jax.lax.Precision.HIGHEST
+                      ) + _F_OFFSET.astype(x255.dtype)
 
 
-def ycbcr_to_rgb(ycc):
+def ycbcr_to_rgb(ycc, precision=None):
     """YCbCr → 255-scaled RGB."""
     import jax
     return jnp.einsum('...c,kc->...k', ycc, _I_MATRIX.astype(ycc.dtype),
-                      precision=jax.lax.Precision.HIGHEST) + _I_OFFSET.astype(ycc.dtype)
+                      precision=precision or jax.lax.Precision.HIGHEST
+                      ) + _I_OFFSET.astype(ycc.dtype)
 
 
 def rgb_to_hsv(rgb):

@@ -36,23 +36,26 @@ def deblockify(blocks):
     return x.reshape(n, hb * b, wb * b, c)
 
 
-def dct2d(blocks):
+def dct2d(blocks, precision=None):
     """Forward 2-D DCT of trailing (8, 8) block axes: D X Dᵀ.
 
-    Precision is pinned to HIGHEST: the TPU MXU default (bf16 inputs) costs ~0.02
-    absolute error per 8x8 matmul, which would break the ≤0.1 dB dJPEG parity target.
+    Default precision is HIGHEST: the TPU MXU default (bf16 inputs) costs ~0.02
+    absolute error per 8x8 matmul, which would break the ≤0.1 dB dJPEG parity
+    target. Throughput-oriented callers (e.g. a bfloat16 distribution channel,
+    where the codec only simulates an attack) may pass a lower precision.
     """
     import jax
     d = jnp.asarray(dct_matrix(blocks.shape[-1]), dtype=blocks.dtype)
     return jnp.einsum('ij,...jk,lk->...il', d, blocks, d,
-                      precision=jax.lax.Precision.HIGHEST,
+                      precision=precision or jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32).astype(blocks.dtype)
 
 
-def idct2d(coeffs):
-    """Inverse 2-D DCT of trailing (8, 8) block axes: Dᵀ X D (precision pinned)."""
+def idct2d(coeffs, precision=None):
+    """Inverse 2-D DCT of trailing (8, 8) block axes: Dᵀ X D (precision as
+    :func:`dct2d`)."""
     import jax
     d = jnp.asarray(dct_matrix(coeffs.shape[-1]), dtype=coeffs.dtype)
     return jnp.einsum('ji,...jk,kl->...il', d, coeffs, d,
-                      precision=jax.lax.Precision.HIGHEST,
+                      precision=precision or jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32).astype(coeffs.dtype)

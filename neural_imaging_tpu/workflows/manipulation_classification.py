@@ -35,7 +35,8 @@ class ManipulationClassification:
 
     def __init__(self, nip_model, manipulations=None, distribution=None, fan_args=None,
                  trainable=None, raw_patch_size=128, loss_metric='L2', rng_seed=0,
-                 remat=False, channel_dtype='float32', nip_args=None):
+                 remat=False, channel_dtype='float32', nip_args=None,
+                 channel_jpeg_dtype=None):
         """
         :param nip_model: '<nip class>[:dirname]' — NIP class + optional pretrained dir
         :param manipulations: list of '<name>[:strength]' specs
@@ -59,6 +60,15 @@ class ManipulationClassification:
         if channel_dtype not in ('float32', 'bfloat16'):
             raise ValueError(f'Unsupported channel dtype {channel_dtype}')
         self._channel_dtype = jnp.bfloat16 if channel_dtype == 'bfloat16' else jnp.float32
+        # Channel-codec compute dtype: None keeps the dJPEG internals f32 at
+        # HIGHEST matmul precision (oracle parity); 'bfloat16' runs the CHANNEL
+        # dJPEG in bf16 at DEFAULT precision — the channel only simulates an
+        # attack, and its f32 transform is a top HBM-traffic term of the train
+        # step (profiling.hlo_traffic). The NIP fidelity loss path never goes
+        # through this codec either way.
+        if channel_jpeg_dtype not in (None, 'float32', 'bfloat16'):
+            raise ValueError(f'Unsupported channel JPEG dtype {channel_jpeg_dtype}')
+        self._channel_jpeg_bf16 = channel_jpeg_dtype == 'bfloat16'
 
         self._trainable = set() if trainable is None else set(trainable)
         self._trainable.add('fan')
@@ -270,14 +280,21 @@ class ManipulationClassification:
         """Returns (compressed_batch, entropy)."""
         compression = self._distribution['compression']
         if compression == 'jpeg':
-            batch32 = batch.astype(jnp.float32)  # dJPEG numerics stay f32 (parity)
             # Trainable JPEG qtables ALSO live under the 'dcn' partition key:
             # 'dcn' names the generic trainable-codec slot (matching the
             # reference CLI's `--train dcn` convention), not the DCN model —
             # see _collect_params, which routes either codec's params here.
             if 'dcn' in params:  # trainable qtables
-                y, _ = self.codec._model(batch32, params=params['dcn'])
+                y, _ = self.codec._model(batch.astype(jnp.float32),
+                                         params=params['dcn'])
+            elif self._channel_jpeg_bf16:
+                y, _ = jpeg_models.jpeg_forward(
+                    batch.astype(jnp.bfloat16), q_luma, q_chroma,
+                    rounding=self.codec.codec
+                    if self.codec.codec != 'libjpeg' else 'soft',
+                    precision=jax.lax.Precision.DEFAULT)
             else:
+                batch32 = batch.astype(jnp.float32)  # dJPEG f32 (parity default)
                 y, _ = jpeg_models.jpeg_forward(batch32, q_luma, q_chroma,
                                                 rounding=self.codec.codec
                                                 if self.codec.codec != 'libjpeg' else 'soft')
