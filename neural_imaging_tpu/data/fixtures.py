@@ -219,12 +219,19 @@ def make_camera_capture(filename, fmt=None, image_rgb=None, cfa_pattern='RGGB',
 
 
 def make_quality_dataset(directory, n_images=60, height=256, width=384, seed=900,
-                         cfa_pattern='GBRG'):
+                         cfa_pattern='GBRG', noise=None):
     """
     A reference-scale training set (default 60 images, the 40:20:1 split's total):
     half simulated captures of real photographic content (random crops/flips/
     exposure variants of the environment's sample photo), half procedural scenes.
     Written in the reference's directory format (.npy RGGB stacks + .png targets).
+
+    ``noise``: optional ``(shot, read)`` sensor-noise model applied to the RAW
+    mosaic ONLY — std = sqrt(shot²·signal + read²) in normalized units (e.g.
+    ``(0.02, 0.01)`` ≈ a high-ISO capture) — while the .png target is developed
+    from the CLEAN mosaic, so ISPs train on a joint denoise+demosaic task (the
+    regime the reference's learnable DemosaicingLayer targets,
+    ref models/layers.py:206-258).
     """
     os.makedirs(directory, exist_ok=True)
     photo = real_photo()
@@ -251,8 +258,15 @@ def make_quality_dataset(directory, n_images=60, height=256, width=384, seed=900
         cam_linear = np.clip(np.einsum('ij,hwj->hwi', np.linalg.inv(EXAMPLE_SRGB),
                                        np.power(scene, 2.2)), 0, 1)
         mosaic = bayer.mosaic_flat(cam_linear, cfa_pattern)
+        mosaic_captured = mosaic
+        if noise is not None:
+            shot, read = noise
+            sigma = np.sqrt(shot * shot * mosaic + read * read)
+            mosaic_captured = np.clip(
+                mosaic + sigma * rng.standard_normal(mosaic.shape), 0, 1)
         stack = bayer.stack_bayer(
-            np.stack([mosaic * m for m in raw._cfa_masks(mosaic.shape, cfa_pattern)],
+            np.stack([mosaic_captured * m
+                      for m in raw._cfa_masks(mosaic.shape, cfa_pattern)],
                      axis=-1), cfa_pattern)
         stack_u16 = np.clip(stack * 65535, 0, 65535).round().astype(np.uint16)
         developed = raw.develop_mosaic(mosaic, cfa_pattern, cam2srgb=EXAMPLE_SRGB,

@@ -92,6 +92,57 @@ def sharpen(x, strength=1.0, hsv=True):
     return jnp.clip(y, 0, 1)
 
 
+def gaussian_pooled(x, kernel=5, std=0.83):
+    """Exact ``avg_pool(gaussian(x), 2)`` as ONE strided conv.
+
+    avg-pool(2) after a conv is itself a conv: the composite kernel is the
+    blur convolved with a 2x2 box (verified exact to f32 eps against the
+    two-op form). Halves the branch's HBM writes in the pooled-channel
+    workflow — the full-resolution blurred tensor never materializes. The
+    trailing clip of :func:`gaussian` is a mathematical no-op (normalized
+    non-negative kernel on [0,1] data), so folding across it is exact."""
+    from scipy.signal import convolve2d
+    kernel = int(kernel)
+    gk = gkern(kernel, std)
+    k2 = convolve2d(gk, np.ones((2, 2)) / 4.0, 'full')     # (k+1, k+1)
+    gfilter = np.zeros((kernel + 1, kernel + 1, 3, 3), dtype=np.float32)
+    for r in range(3):
+        gfilter[:, :, r, r] = k2
+    xp = ops.pad2d(x, kernel // 2, 'reflect')
+    return ops.conv2d(xp, jnp.asarray(gfilter, x.dtype), stride=2, padding='VALID',
+                      precision=None)
+
+
+def resample_pooled(x, factor=50, method='bilinear'):
+    """Exact ``avg_pool(resample(x), 2)`` when the up-scale is exactly 2x
+    (factor=50): pool2 ∘ bilinear-up2 is the fixed separable 3-tap stencil
+    [1/8, 3/4, 1/8] with edge clamping, applied to the downsampled image —
+    the full-resolution upsampled tensor never materializes. Other factors
+    fall back to the two-op form."""
+    if 0 < factor <= 1:
+        factor = 100 * factor
+    size = x.shape[1] * int(factor) // 100
+    if method != 'bilinear' or 2 * size != x.shape[1]:
+        return ops.avg_pool(resample(x, factor, method), 2)
+    down = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), method=method)
+    k1 = np.array([0.125, 0.75, 0.125], np.float32)
+    k2 = np.outer(k1, k1)
+    rf = np.zeros((3, 3, 3, 3), np.float32)
+    for r in range(3):
+        rf[:, :, r, r] = k2
+    dp = jnp.pad(down, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
+    return ops.conv2d(dp, jnp.asarray(rf, x.dtype), stride=1, padding='VALID',
+                      precision=None)
+
+
+# Exact fused manipulate→pool:2 variants (static strengths); used by the
+# workflow's pooled channel so those branches never write full resolution.
+POOLED_MANIPULATIONS = {
+    'gaussian': lambda x, s, key=None: gaussian_pooled(x, 5, s),
+    'resample': lambda x, s, key=None: resample_pooled(x, s),
+}
+
+
 def residual(x, hsv=False):
     """High-pass residual filter (for fingerprint-style analyses)."""
     gk = np.array([[-0.0833, -0.1667, -0.0833],

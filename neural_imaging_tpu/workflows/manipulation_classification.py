@@ -238,30 +238,43 @@ class ManipulationClassification:
     def _fan_apply(self, fan_params, batch_C):
         return self.fan._apply(fan_params, batch_C)
 
-    def _manipulate(self, batch_Y, key, strength_scalars=None, strength_indices=None):
+    def _manipulate(self, batch_Y, key, strength_scalars=None, strength_indices=None,
+                    pool=False):
         """(K+1)-way batch expansion: [native] + each manipulation. Randomized
-        strengths come in as traced scalars / switch indices."""
+        strengths come in as traced scalars / switch indices.
+
+        ``pool=True`` fuses the channel's 2x average pooling INTO each branch:
+        the concat joins (K+1) quarter-size tensors instead of full-resolution
+        ones, and the gaussian/resample branches use exact folded kernels
+        (manips.POOLED_MANIPULATIONS) so their full-resolution outputs never
+        materialize in HBM. pool(concat(...)) == concat(pool(each)) exactly."""
         dt = self._channel_dtype
         batch_Y = batch_Y.astype(dt)
-        y_list = [batch_Y]
+        p2 = (lambda t: ops.avg_pool(t, 2)) if pool else (lambda t: t)
+        y_list = [p2(batch_Y)]
         for i, name in enumerate(self._operations):
             key, sub = jax.random.split(key)
             if strength_scalars is None:
                 s = self._strengths[name]
-                y_list.append(manips.MANIPULATIONS[name](batch_Y, s, sub).astype(dt))
+                if pool and name in manips.POOLED_MANIPULATIONS:
+                    y_list.append(manips.POOLED_MANIPULATIONS[name](
+                        batch_Y, s, sub).astype(dt))
+                else:
+                    y_list.append(p2(manips.MANIPULATIONS[name](batch_Y, s, sub)
+                                     ).astype(dt))
             else:
                 if name in manips.TRACED_MANIPULATIONS:
-                    y_list.append(manips.TRACED_MANIPULATIONS[name](
-                        batch_Y, strength_scalars[i], sub).astype(dt))
+                    y_list.append(p2(manips.TRACED_MANIPULATIONS[name](
+                        batch_Y, strength_scalars[i], sub)).astype(dt))
                 elif name == 'resample':
                     cands = [int(c) for c in self._strength_candidates[name]]
-                    y_list.append(manips.resample_switch(batch_Y, strength_indices[i],
-                                                         cands).astype(dt))
+                    y_list.append(p2(manips.resample_switch(
+                        batch_Y, strength_indices[i], cands)).astype(dt))
                 elif name == 'median':
                     cands = sorted({int(c) | 1 for c in self._strength_candidates[name]})
-                    y_list.append(manips.median_switch(
+                    y_list.append(p2(manips.median_switch(
                         batch_Y, jnp.clip(strength_indices[i], 0, len(cands) - 1),
-                        cands).astype(dt))
+                        cands)).astype(dt))
         return jnp.concatenate(y_list, axis=0)
 
     def _downsample(self, batch):
@@ -308,6 +321,12 @@ class ManipulationClassification:
                  strength_scalars=None, strength_indices=None):
         def acquire(nip_params, bx):
             Y = self._nip_apply(nip_params, bx)
+            # NOTE: a fused per-branch expand→manipulate→pool variant exists
+            # (_manipulate(pool=True), exact folded kernels) and was MEASURED
+            # SLOWER on TPU than this concat-then-pool form (28.1 vs 38.0
+            # steps/s at the bench config): XLA already fuses the concat into
+            # the pooling reduce-window, while per-branch pooling fragments
+            # that fusion. Measured, not assumed — see docs/benchmarks.md.
             m = self._manipulate(Y, key, strength_scalars, strength_indices)
             return Y, self._downsample(m)
 

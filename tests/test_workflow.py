@@ -109,6 +109,28 @@ class TestChannels:
         _, c, *_ = f.run_workflow(bx)
         assert np.asarray(c).shape == (4, 16, 16, 3)
 
+    def test_fused_pooled_expansion_matches_two_op_form(self):
+        """_manipulate(pool=True) — per-branch pooling with exact folded
+        gaussian/resample kernels — must equal pool(_manipulate(...)). Kept as
+        a correct alternative even though the two-op form measured FASTER on
+        TPU (XLA fuses concat into the pooling reduce-window; per-branch
+        pooling fragments it — docs/benchmarks.md)."""
+        import jax
+        import jax.numpy as jnp
+        from neural_imaging_tpu.ops import ops
+        f = ManipulationClassification(
+            'INet', manipulations=['sharpen', 'resample', 'gaussian', 'jpeg'],
+            distribution={'downsampling': 'pool:2', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1},
+            raw_patch_size=16)
+        y = jnp.asarray(np.random.default_rng(3).random((2, 32, 32, 3)),
+                        jnp.float32)
+        key = jax.random.PRNGKey(0)
+        ref = ops.avg_pool(f._manipulate(y, key), 2)
+        fused = f._manipulate(y, key, pool=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
 
 class TestTraining:
     def test_training_step_runs_and_syncs(self, flow, batch):

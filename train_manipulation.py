@@ -62,6 +62,11 @@ def main():
                         choices=['float32', 'bfloat16'],
                         help='distribution-channel compute dtype (bfloat16 halves '
                              'HBM traffic at large patches; losses stay f32)')
+    parser.add_argument('--channel-jpeg-dtype', default=None,
+                        choices=['float32', 'bfloat16'],
+                        help='channel dJPEG compute dtype; bfloat16 runs the '
+                             'channel codec at DEFAULT matmul precision '
+                             '(default: f32 at HIGHEST — oracle parity)')
     parser.add_argument('--nip-params', default=None,
                         help="JSON with NIP constructor kwargs, e.g. "
                              "\"{'conv_precision': 'high'}\"")
@@ -122,7 +127,7 @@ def main():
                 args.nip, manipulations=manipulations, distribution=distribution,
                 fan_args=fan_args, trainable=trainable, raw_patch_size=args.patch,
                 loss_metric=args.loss_metric, channel_dtype=args.channel_dtype,
-                nip_args=nip_params)
+                nip_args=nip_params, channel_jpeg_dtype=args.channel_jpeg_dtype)
         else:
             # sweep points share the flow's compiled programs (λ and lr are
             # traced arguments); only the trainable state resets
