@@ -78,6 +78,29 @@ class TestShellScripts:
             assert os.access(script, os.X_OK), script
 
 
+class TestConstrainedConvPaths:
+    def test_bf16_mxu_path_matches_f32_vpu_path(self):
+        """ConstrainedConv's two compute paths (exact-f32 VPU small_conv2d vs
+        one bf16 MXU conv) must agree to bf16 tolerance on the same kernel —
+        the constraint renormalization itself is f32 in both."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from neural_imaging_tpu.models.forensics import ConstrainedConv
+
+        x = np.random.default_rng(0).random((2, 16, 16, 3)).astype(np.float32)
+        m32 = ConstrainedConv(dtype=jnp.float32)
+        m16 = ConstrainedConv(dtype=jnp.bfloat16)
+        v32 = m32.init_with_output(jax.random.PRNGKey(0), jnp.asarray(x))[0]
+        v16 = m16.init_with_output(jax.random.PRNGKey(0), jnp.asarray(x))[0]
+        # absolute bf16 error scales with the filter_strength-100-weighted
+        # PRODUCTS (~0.5), not the (possibly cancelled-to-zero) output
+        np.testing.assert_allclose(np.asarray(v16, np.float32), np.asarray(v32),
+                                   atol=1.0, rtol=0.05)
+        # the residual-filter constraint holds in both: output near zero-mean
+        assert abs(float(jnp.mean(v16.astype(jnp.float32)))) < 1.0
+
+
 class TestFANDropout:
     def test_training_with_dropout(self):
         import numpy as np
