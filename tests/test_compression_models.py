@@ -39,6 +39,7 @@ class TestTwitterDCN:
         assert np.asarray(y).shape == batch.shape
         assert 0 <= float(h) <= dcn._h.latent_bpf + 0.1
 
+    @pytest.mark.slow
     def test_training_improves_reconstruction(self, batch):
         dcn = compression.TwitterDCN(patch_size=32, n_features=8, entropy_weight=1)
         first = dcn.training_step(batch, 1e-3)
@@ -63,6 +64,7 @@ class TestTwitterDCN:
                            np.asarray(dcn.process(batch)), atol=1e-6)
         assert restored.model_code == dcn.model_code
 
+    @pytest.mark.slow
     def test_trainable_codebook(self, batch):
         dcn = compression.TwitterDCN(patch_size=32, n_features=4, train_codebook=True)
         cb0 = dcn.get_codebook().copy()

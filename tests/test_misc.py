@@ -101,6 +101,7 @@ class TestConstrainedConvPaths:
         assert abs(float(jnp.mean(v16.astype(jnp.float32)))) < 1.0
 
 
+@pytest.mark.slow
 class TestFANDropout:
     def test_training_with_dropout(self):
         import numpy as np
@@ -114,6 +115,7 @@ class TestFANDropout:
         assert np.isfinite(l1) and np.isfinite(l2)
 
 
+@pytest.mark.slow
 class TestOrbaxCheckpoint:
     def test_full_state_roundtrip(self, tmp_path):
         import numpy as np

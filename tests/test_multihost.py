@@ -14,6 +14,10 @@ import sys
 import numpy as np
 import pytest
 
+# compile-heavy: excluded from the sub-5-minute smoke profile
+# (`pytest -m 'not slow'`); the full default suite still runs these
+pytestmark = pytest.mark.slow
+
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       'support', 'multihost_worker.py')
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -209,6 +209,7 @@ class TestManipulations:
         self.rng = np.random.default_rng(7)
         self.x = jnp.array(self.rng.random((2, 32, 32, 3)).astype(np.float32))
 
+    @pytest.mark.slow
     def test_shapes_preserved(self):
         key = jax.random.PRNGKey(0)
         for name, fn in manipulations.MANIPULATIONS.items():

@@ -116,6 +116,7 @@ class TestCodebookKernel:
             jnp.asarray(cb0) + 0.05)
         assert np.isfinite(np.asarray(g)).all()
 
+    @pytest.mark.slow
     def test_dcn_pallas_trainable_codebook_step(self):
         """A DCN with use_pallas_quantization + train_codebook trains end-to-end
         and actually moves the codebook."""

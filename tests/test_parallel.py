@@ -6,6 +6,10 @@ import pytest
 
 from neural_imaging_tpu.parallel import make_mesh, mesh as mesh_lib, train as ptrain
 
+# compile-heavy: excluded from the sub-5-minute smoke profile
+# (`pytest -m 'not slow'`); the full default suite still runs these
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def mesh8():

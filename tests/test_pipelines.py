@@ -7,6 +7,10 @@ import pytest
 
 from neural_imaging_tpu.models import base, pipelines
 
+# compile-heavy: excluded from the sub-5-minute smoke profile
+# (`pytest -m 'not slow'`); the full default suite still runs these
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def batch():

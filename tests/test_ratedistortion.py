@@ -72,6 +72,7 @@ class TestSweeps:
         else:
             assert len(df) > 0
 
+    @pytest.mark.slow
     def test_dcn_sweep(self, image_dir, tmp_path):
         from neural_imaging_tpu.models.compression import TwitterDCN
         from neural_imaging_tpu.training.compression import save_progress

@@ -23,6 +23,10 @@ import pytest
 from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
 from neural_imaging_tpu.models.jpeg import jpeg_forward
 
+# compile-heavy: excluded from the sub-5-minute smoke profile
+# (`pytest -m 'not slow'`); the full default suite still runs these
+pytestmark = pytest.mark.slow
+
 # ------------------------------------------------------------------------------
 # Reference constants (models/jpeg.py:74-86) — independent of the framework's own
 # ops modules on purpose: these are transcribed from the reference so the oracle

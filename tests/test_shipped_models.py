@@ -10,6 +10,10 @@ import os
 import numpy as np
 import pytest
 
+# compile-heavy: excluded from the sub-5-minute smoke profile
+# (`pytest -m 'not slow'`); the full default suite still runs these
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

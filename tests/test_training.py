@@ -8,6 +8,10 @@ import pytest
 from neural_imaging_tpu.data import fixtures
 from neural_imaging_tpu.data.dataset import Dataset
 
+# compile-heavy: excluded from the sub-5-minute smoke profile
+# (`pytest -m 'not slow'`); the full default suite still runs these
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def data_dir(tmp_path_factory):

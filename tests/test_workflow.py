@@ -53,6 +53,7 @@ class TestConstruction:
         assert 'Manipulations : 3' in flow.details()
 
 
+@pytest.mark.slow
 class TestForward:
     def test_run_workflow_shapes(self, flow, batch):
         bx, _ = batch
@@ -86,6 +87,7 @@ class TestForward:
         assert not np.allclose(a[2:], b[2:])  # different random strengths
 
 
+@pytest.mark.slow
 class TestChannels:
     def test_jpeg_channel(self, batch):
         bx, _ = batch
@@ -132,6 +134,7 @@ class TestChannels:
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 class TestTraining:
     def test_training_step_runs_and_syncs(self, flow, batch):
         bx, by = batch
@@ -171,6 +174,7 @@ class TestTraining:
                 fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 1})
 
 
+@pytest.mark.slow
 class TestRemat:
     def test_remat_matches_default(self, batch):
         """jax.checkpoint over the acquisition stage must not change results."""
@@ -186,6 +190,7 @@ class TestRemat:
         assert abs(float(l1) - float(l2)) / max(abs(float(l1)), 1e-9) < 1e-5
 
 
+@pytest.mark.slow
 class TestTrainableJPEG:
     def test_qtables_update_in_joint_training(self, batch):
         """A trainable dJPEG channel must receive gradients through the chain."""
@@ -206,6 +211,7 @@ class TestTrainableJPEG:
         assert 1 <= f.codec.estimate_qf() <= 100
 
 
+@pytest.mark.slow
 class TestOtherNIPsInWorkflow:
     @pytest.mark.parametrize('nip', ['ClassicISP', 'UNet', 'DNet'])
     def test_workflow_with_nip(self, nip, batch):
@@ -220,6 +226,7 @@ class TestOtherNIPsInWorkflow:
         assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 class TestDeterminism:
     def test_same_seed_same_trajectory(self, batch):
         bx, by = batch
@@ -235,6 +242,7 @@ class TestDeterminism:
         assert float(l1) == float(l2)
 
 
+@pytest.mark.slow
 class TestChannelDtype:
     def test_bfloat16_channel_tracks_float32(self):
         """bfloat16 distribution channel: finite training, CE trajectory within
