@@ -8,11 +8,12 @@ of 128x128 after pooling; ref training/manipulation.py:25) — on one chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Configuration: the throughput setting validated by the quality gates — bfloat16
-distribution channel + FAN (E2E gate `train-manipulation-bf16`), INet convs at
-DEFAULT (bf16) MXU precision. Joint-run quality parity for DEFAULT vs HIGH was
-measured in round 4 (docs/quality_runs.md: pooled JPEG-50 hard regime, joint
-λ=0.005 — final accuracy 0.620 vs 0.620, NIP 34.87 vs 34.91 dB); the all-f32
-parity-default number is reported in docs/benchmarks.md alongside.
+distribution channel + FAN (E2E gate `train-manipulation-bf16`, which also
+covers the MXU ConstrainedConv path), INet convs at DEFAULT (bf16) MXU
+precision, and the channel dJPEG in bf16 at DEFAULT precision. Each knob has a
+paired joint-run quality arm in docs/quality_runs.md (round-4 studies: pooled
+JPEG-50 hard regime, λ=0.005 — all within validation noise of the f32/HIGH
+arms); the all-f32 parity-default number is in docs/benchmarks.md alongside.
 
 The reference publishes no throughput numbers (BASELINE.md); `vs_baseline` is
 computed against REFERENCE_STEPS_PER_SEC — an *estimate* of a TF2-GPU baseline
@@ -53,7 +54,11 @@ def main():
         trainable={'nip'},
         raw_patch_size=RAW_PATCH,
         channel_dtype='bfloat16',
-        nip_args={'conv_precision': 'default'})
+        nip_args={'conv_precision': 'default'},
+        # bf16 channel codec at DEFAULT precision: quality-neutral in the
+        # pooled JPEG-50 joint arm (acc 0.635/0.610 vs 0.625/0.620 f32,
+        # NIP 34.86 vs 34.87 dB — docs/quality_runs.md round-4 studies)
+        channel_jpeg_dtype='bfloat16')
     # defer the NaN guard to the end so host dispatch pipelines with device compute
     flow.nan_check = False
 
