@@ -19,8 +19,12 @@ vendor containers, all of which are TIFF variants:
   :class:`UnsupportedRawError` with a convert-to-DNG hint (they fall through
   to rawpy when it is installed).
 - **ARW** (Sony): TIFF-EP, uncompressed 12/14/16-bit raw SubIFD. Sony's
-  cRAW/compressed variants (Compression=32767) likewise raise
-  :class:`UnsupportedRawError`.
+  cRAW/ARW2 coding (Compression=32767) is decoded natively (``data/sony.py``):
+  16-pixel max/min/delta blocks, the segmented tone curve from private tag
+  0x7010, and the XOR-encrypted SR2 metadata chain (tags 0x7200/0x7201/0x7221
+  → curve, per-channel black 0x7310, as-shot WB 0x7313). Only the
+  lossless-LJPEG ARW variant of the newest bodies (Compression=7) still
+  raises :class:`UnsupportedRawError`.
 
 Pixel decode is exact and covered by hermetic round-trip tests (each writer
 below produces spec-layout files the reader must invert, and the same mosaic
@@ -61,6 +65,12 @@ _COMPRESSION_NIKON = 34713
 _COMPRESSION_SONY = 32767
 
 _TAG_SONY_BLACK = 0x7310        # Sony: per-channel black levels (SHORT[4])
+_TAG_SONY_CURVE = 0x7010        # Sony: cRAW tone-curve breakpoints (SHORT[4])
+_TAG_SONY_WB = 0x7313           # Sony: as-shot WB levels R,G1,G2,B (SHORT[4])
+_TAG_SR2_OFFSET = 0x7200        # Sony: encrypted SR2 sub-IFD offset
+_TAG_SR2_LENGTH = 0x7201        # Sony: encrypted SR2 sub-IFD byte length
+_TAG_SR2_KEY = 0x7221           # Sony: SR2 decryption key
+_TAG_DNG_PRIVATE = 0xC634       # IFD0 → vendor private IFD (Sony: SR2Private)
 
 # Per-vendor black-level floors applied when a file carries NO usable level
 # metadata. Real vendor containers do not use the DNG BlackLevel tag: Canon
@@ -324,6 +334,44 @@ def _nikon_compression_meta(buf, endian, ifd0):
     off, nbytes = span
     return buf[off:off + nbytes]
 
+def _sony_private_ifd(buf, endian, ifds):
+    """Decrypt + parse the Sony SR2 private metadata sub-IFD, if present.
+
+    Real ARWs chain IFD0 tag 0xC634 (DNGPrivateData) → the plain "SR2Private"
+    IFD carrying tags 0x7200/0x7201/0x7221 (offset/length/key of the encrypted
+    block) → the encrypted SR2 sub-IFD with the cRAW tone curve (0x7010),
+    per-channel black (0x7310) and as-shot WB (0x7313). The encrypted IFD's
+    out-of-line data offsets are absolute file offsets, so the block is
+    decrypted in place (in a copy) before parsing. Returns the sub-IFD dict,
+    or None when any link of the chain is absent/malformed."""
+    scan = list(ifds)
+    priv_ptr = _tag(ifds[0], _TAG_DNG_PRIVATE) if ifds else None
+    if priv_ptr:
+        try:
+            entries, _ = _read_ifd(buf, int(priv_ptr[0]), endian)
+            scan.insert(0, entries)
+        except (struct.error, ValueError, IndexError):
+            pass
+    for ifd in scan:
+        off = _tag(ifd, _TAG_SR2_OFFSET)
+        ln = _tag(ifd, _TAG_SR2_LENGTH)
+        key = _tag(ifd, _TAG_SR2_KEY)
+        if not (off and ln and key):
+            continue
+        off, ln, key = int(off[0]), int(ln[0]), int(key[0])
+        if not (0 < off < len(buf) and 0 < ln <= len(buf) - off):
+            return None
+        from neural_imaging_tpu.data import sony
+        patched = buf[:off] + sony.decrypt(buf[off:off + ln], key) \
+            + buf[off + ln:]
+        try:
+            entries, _ = _read_ifd(patched, off, endian)
+        except (struct.error, ValueError, IndexError):
+            return None
+        return entries
+    return None
+
+
 def _read_tiff_ep_raw(filename, default_cfa, vendor):
     buf, endian, first_ifd = _open_tiff(filename)
     ifds = _all_ifds(buf, endian, first_ifd)
@@ -337,6 +385,7 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
 
     compression = _tag(raw_ifd, _TAG_COMPRESSION, (_COMPRESSION_NONE,))[0]
     nikon_meta = None
+    sony_priv = sony_curve = None
     if compression == _COMPRESSION_NIKON:
         nikon_meta = _nikon_compression_meta(buf, endian, ifds[0])
         if nikon_meta is None:
@@ -344,17 +393,22 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
                 'Nikon type-34713 NEF carries no MakerNote compression '
                 'metadata (tag 0x0096); convert to DNG for native ingestion.')
     if compression == _COMPRESSION_SONY:
-        raise UnsupportedRawError(
-            'Sony compressed ARW (cRAW) is not natively supported; convert to '
-            'DNG for native ingestion.')
-    if compression not in (_COMPRESSION_NONE, _COMPRESSION_NIKON):
+        from neural_imaging_tpu.data import sony
+        sony_priv = _sony_private_ifd(buf, endian, ifds)
+        posts = _tag(sony_priv, _TAG_SONY_CURVE) if sony_priv else None
+        if posts is not None:
+            sony_curve = sony.build_curve(posts)
+    if compression not in (_COMPRESSION_NONE, _COMPRESSION_NIKON,
+                           _COMPRESSION_SONY):
         raise UnsupportedRawError(
             f'{vendor} compression={compression} is not natively supported.')
 
     width = _tag(raw_ifd, _TAG_WIDTH)[0]
     length = _tag(raw_ifd, _TAG_LENGTH)[0]
     bits = _tag(raw_ifd, _TAG_BITS, (16,))[0]
-    if bits not in (12, 14, 16):
+    # cRAW codes 11-bit values in 8 bits/pixel on average; real ARW2 files
+    # declare BitsPerSample=8, so the depth check only applies to uncompressed
+    if compression != _COMPRESSION_SONY and bits not in (12, 14, 16):
         raise DNGError(f'Unsupported {vendor} bit depth: {bits}')
     offsets = _tag(raw_ifd, _TAG_STRIP_OFFSETS)
     counts = _tag(raw_ifd, _TAG_STRIP_BYTE_COUNTS)
@@ -368,6 +422,12 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
         try:
             mosaic = nikon.decode(data, length, width, bits, nikon_meta, endian)
         except nikon.NikonFormatError as e:
+            raise UnsupportedRawError(str(e)) from e
+    elif compression == _COMPRESSION_SONY:
+        from neural_imaging_tpu.data import sony
+        try:
+            mosaic = sony.decode(data, length, width, curve=sony_curve)
+        except sony.SonyFormatError as e:
             raise UnsupportedRawError(str(e)) from e
     elif len(data) >= 2 * n:
         dtype = np.dtype(('<' if endian == '<' else '>') + 'u2')
@@ -386,17 +446,36 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
     camera = camera if isinstance(camera, str) else camera[0]
     black_vals = _tag(raw_ifd, _TAG_BLACK_LEVEL, _tag(ifd0, _TAG_BLACK_LEVEL))
     if black_vals is None and vendor == 'ARW':
-        # Sony stores per-channel black levels in tag 0x7310 (any IFD)
-        for ifd in ifds:
+        # Sony stores per-channel black levels in tag 0x7310 — in the
+        # encrypted SR2 sub-IFD on real bodies, in a plain IFD otherwise
+        for ifd in ([sony_priv] if sony_priv else []) + ifds:
             black_vals = _tag(ifd, _TAG_SONY_BLACK)
             if black_vals is not None:
                 break
     if black_vals is None:
-        black_vals = (_default_black(vendor, bits, camera),)
+        if compression == _COMPRESSION_SONY:
+            black_vals = (_default_black(vendor, 14 if sony_curve is not None
+                                         else 12, camera),)
+        else:
+            black_vals = (_default_black(vendor, bits, camera),)
+    cam_mul = np.ones(4, np.float32)
+    if sony_priv is not None:
+        wb = _tag(sony_priv, _TAG_SONY_WB)
+        if wb is not None and len(wb) >= 4 and min(wb[:4]) > 0:
+            # file order (R, G1, G2, B) → framework order (R, G, B, G2)
+            cam_mul = np.array([wb[0], wb[1], wb[3], wb[2]], np.float32)
+    if compression == _COMPRESSION_SONY:
+        # the bits tag is nominal (8) for cRAW: the coded domain is 11-bit,
+        # mapped through the tone curve when present
+        from neural_imaging_tpu.data import sony
+        default_white = (sony.curve_white(sony_curve)
+                         if sony_curve is not None else sony.CODE_MAX)
+    else:
+        default_white = (1 << bits) - 1
     white = _tag(raw_ifd, _TAG_WHITE_LEVEL,
-                 _tag(ifd0, _TAG_WHITE_LEVEL, ((1 << bits) - 1,)))[0]
+                 _tag(ifd0, _TAG_WHITE_LEVEL, (default_white,)))[0]
     return _result(mosaic, cfa, np.mean(black_vals), white,
-                   np.ones(4, np.float32), np.eye(3), camera)
+                   cam_mul, np.eye(3), camera)
 
 
 def read_nef(filename):
@@ -645,7 +724,111 @@ def write_nef(filename, mosaic_u16, cfa_pattern='GBRG', bits=14, black=0,
 
 
 def write_arw(filename, mosaic_u16, cfa_pattern='RGGB', bits=16, black=0,
-              white=None, camera='SONY (synthetic)', black_style='dng'):
-    """Write an uncompressed ARW-layout file."""
+              white=None, camera='SONY (synthetic)', black_style='dng',
+              compression='none', sr2_meta=None):
+    """Write an ARW-layout file: uncompressed, or ``compression='sony-craw'``
+    for the ARW2 block coding (with ``sr2_meta`` for the real-style encrypted
+    metadata chain — see :func:`write_arw_craw`)."""
+    if compression == 'sony-craw':
+        return write_arw_craw(filename, mosaic_u16, cfa_pattern=cfa_pattern,
+                              camera=camera, sr2_meta=sr2_meta)
+    if compression != 'none':
+        raise DNGError(f'Unknown ARW writer compression {compression}')
     return _write_tiff_ep(filename, mosaic_u16, cfa_pattern, bits,
                           'SONY', camera, black, white, black_style=black_style)
+
+
+def write_arw_craw(filename, mosaic_u16, cfa_pattern='RGGB',
+                   camera='SONY (synthetic)', sr2_meta=None):
+    """Write a Compression=32767 (cRAW/ARW2) ARW the reader must invert.
+
+    Mirrors the real-file topology end to end: IFD0 → SubIFD raw image with
+    the block-coded payload (BitsPerSample=8, as real bodies declare), and —
+    when ``sr2_meta`` is given — IFD0 tag 0xC634 → plain SR2Private IFD
+    (0x7200/0x7201/0x7221) → XOR-encrypted SR2 sub-IFD holding the tone curve
+    (0x7010), per-channel black (0x7310) and as-shot WB (0x7313).
+
+    ``sr2_meta`` keys: ``curve_posts`` (4 raw SHORTs, i.e. breakpoints << 2),
+    ``black`` (scalar or 4-tuple), ``wb`` (R, G1, G2, B levels), ``key``
+    (uint32). Without ``sr2_meta`` the payload holds plain 11-bit codes and no
+    private chain is emitted. Coding is lossy; see ``data/sony.py``.
+    """
+    from neural_imaging_tpu.data import sony
+    mosaic = np.ascontiguousarray(np.asarray(mosaic_u16, dtype=np.uint16))
+    h, w = mosaic.shape
+    curve = None
+    if sr2_meta and sr2_meta.get('curve_posts') is not None:
+        curve = sony.build_curve(sr2_meta['curve_posts'])
+    pixel_data = sony.encode(mosaic, curve=curve)
+
+    endian = '<'
+
+    def sized(entries, base):
+        body, overflow, _ = _entry_blob(entries, endian, base)
+        return body + struct.pack('<I', 0) + overflow
+
+    header_size = 8
+    ifd0_entries = [
+        (_TAG_NEW_SUBFILE_TYPE, _LONG, (1,)),
+        (_TAG_MAKE, _ASCII, 'SONY'),
+        (_TAG_MODEL, _ASCII, camera),
+        (_TAG_SUB_IFDS, _LONG, (0,)),       # patched
+    ]
+    if sr2_meta:
+        ifd0_entries.append((_TAG_DNG_PRIVATE, _LONG, (0,)))  # patched
+    raw_entries = [
+        (_TAG_NEW_SUBFILE_TYPE, _LONG, (0,)),
+        (_TAG_WIDTH, _LONG, (w,)),
+        (_TAG_LENGTH, _LONG, (h,)),
+        (_TAG_BITS, _SHORT, (8,)),          # nominal, as real ARW2 files
+        (_TAG_COMPRESSION, _SHORT, (_COMPRESSION_SONY,)),
+        (_TAG_PHOTOMETRIC, _SHORT, (_PHOTOMETRIC_CFA,)),
+        (_TAG_STRIP_OFFSETS, _LONG, (0,)),  # patched
+        (_TAG_SAMPLES_PER_PIXEL, _SHORT, (1,)),
+        (_TAG_ROWS_PER_STRIP, _LONG, (h,)),
+        (_TAG_STRIP_BYTE_COUNTS, _LONG, (len(pixel_data),)),
+        (_TAG_PLANAR_CONFIG, _SHORT, (1,)),
+        (_TAG_CFA_REPEAT_DIM, _SHORT, (2, 2)),
+        (_TAG_CFA_PATTERN, _BYTE,
+         tuple(_CFA_CODE_INV[c] for c in cfa_pattern.upper())),
+    ]
+
+    # two passes: sizes are value-independent, so lay out, then patch offsets
+    for _ in range(2):
+        ifd0_blob = sized(ifd0_entries, header_size)
+        raw_off = header_size + len(ifd0_blob)
+        raw_blob = sized(raw_entries, raw_off)
+        payload_off = raw_off + len(raw_blob)
+        sr2_sub_off = payload_off + len(pixel_data)
+        sr2_blob = priv_blob = b''
+        if sr2_meta:
+            black = sr2_meta.get('black', 512)
+            black4 = tuple(int(b) for b in (black if hasattr(black, '__len__')
+                                            else (black,) * 4))
+            sub_entries = [(_TAG_SONY_BLACK, _SHORT, black4)]
+            if sr2_meta.get('curve_posts') is not None:
+                sub_entries.append((_TAG_SONY_CURVE, _SHORT,
+                                    tuple(int(p) for p in sr2_meta['curve_posts'])))
+            if sr2_meta.get('wb') is not None:
+                sub_entries.append((_TAG_SONY_WB, _SHORT,
+                                    tuple(int(v) for v in sr2_meta['wb'])))
+            # out-of-line data lands right after the sub-IFD: inside the
+            # encrypted span, with absolute offsets — as in real files
+            plain = sized(sub_entries, sr2_sub_off)
+            plain += b'\0' * (-len(plain) % 4)      # word-align for the cipher
+            key = int(sr2_meta.get('key', 0x1A2B3C4D)) & 0xFFFFFFFF
+            sr2_blob = sony.decrypt(plain, key)     # symmetric XOR cipher
+            priv_off = sr2_sub_off + len(sr2_blob)
+            priv_blob = sized([
+                (_TAG_SR2_OFFSET, _LONG, (sr2_sub_off,)),
+                (_TAG_SR2_LENGTH, _LONG, (len(sr2_blob),)),
+                (_TAG_SR2_KEY, _LONG, (key,)),
+            ], priv_off)
+            ifd0_entries[-1] = (_TAG_DNG_PRIVATE, _LONG, (priv_off,))
+        ifd0_entries[3] = (_TAG_SUB_IFDS, _LONG, (raw_off,))
+        raw_entries[6] = (_TAG_STRIP_OFFSETS, _LONG, (payload_off,))
+
+    with open(filename, 'wb') as fh:
+        fh.write(b'II' + struct.pack('<HI', 42, header_size))
+        fh.write(ifd0_blob + raw_blob + pixel_data + sr2_blob + priv_blob)
+    return filename

@@ -345,6 +345,113 @@ class TestVendorContainers:
         assert stack.dtype == np.uint16 and stack.shape[-1] == 4
 
 
+class TestSonyCRaw:
+    """Sony cRAW / ARW2 (Compression=32767): native block codec + SR2 crypto
+    (libRAW coverage parity, ref helpers/raw.py:110-181, readme.md:34)."""
+
+    @staticmethod
+    def _smooth_codes(h, w, seed=0):
+        # per-block (16 same-row pixels) spread < 128 → sh=0 → exact coding
+        rng = np.random.default_rng(seed)
+        base = np.linspace(200, 1500, h).astype(np.int32)[:, None]
+        return np.clip(base + rng.integers(0, 60, (h, w)), 0, 2047).astype(np.uint16)
+
+    def test_plain_craw_round_trip(self, tmp_path):
+        """Without SR2 metadata the payload holds raw 11-bit codes; smooth
+        content (block spread < 128) round-trips exactly."""
+        from neural_imaging_tpu.data import camera_raw
+        codes = self._smooth_codes(24, 64)
+        path = str(tmp_path / 'c.arw')
+        camera_raw.write_arw(path, codes, compression='sony-craw')
+        d = camera_raw.read_arw(path)
+        assert np.array_equal(d['mosaic'], codes)
+        assert d['white'] == 2047  # 11-bit coded domain, no curve
+
+    def test_craw_lossy_bound(self, tmp_path):
+        """Worst-case content: the 7-bit deltas quantize by at most
+        2**sh - 1 = 15 codes, and every block's max/min pixel is exact."""
+        from neural_imaging_tpu.data import camera_raw, sony
+        rng = np.random.default_rng(3)
+        codes = rng.integers(0, 2048, (16, 96)).astype(np.uint16)
+        out = sony.decode(sony.encode(codes), 16, 96)
+        err = np.abs(out.astype(int) - codes.astype(int))
+        assert err.max() <= 15
+        blocks = codes.reshape(16, 3, 16, 2).transpose(0, 1, 3, 2).reshape(-1, 16)
+        dblocks = out.reshape(16, 3, 16, 2).transpose(0, 1, 3, 2).reshape(-1, 16)
+        assert np.array_equal(blocks.max(1), dblocks.max(1))
+        assert np.array_equal(blocks.min(1), dblocks.min(1))
+
+    def test_encrypted_sr2_chain(self, tmp_path):
+        """Real-file topology: IFD0 0xC634 → SR2Private (0x7200/01/21) →
+        encrypted sub-IFD with tone curve, black and WB. Values that are exact
+        curve outputs survive the full decode exactly."""
+        from neural_imaging_tpu.data import camera_raw, sony
+        posts = [1000 << 2, 2500 << 2, 3200 << 2, 3900 << 2]
+        curve = sony.build_curve(posts)
+        codes = self._smooth_codes(20, 64, seed=7)
+        linear = (curve[codes.astype(np.int32) << 1] >> 2).astype(np.uint16)
+        path = str(tmp_path / 'e.arw')
+        camera_raw.write_arw(path, linear, compression='sony-craw',
+                             sr2_meta={'curve_posts': posts,
+                                       'black': (512,) * 4,
+                                       'wb': (2200, 1024, 1024, 1900),
+                                       'key': 0xCAFEBABE})
+        d = camera_raw.read_arw(path)
+        assert np.array_equal(d['mosaic'], linear)
+        assert d['black'] == 512
+        assert d['white'] == sony.curve_white(curve)
+        # WB file order (R, G1, G2, B) → framework order (R, G, B, G2)
+        assert np.allclose(d['cam_mul'], [2200, 1024, 1900, 1024])
+        # the encrypted bytes must not leak the plaintext tag structure
+        blob = open(path, 'rb').read()
+        assert struct_pack_tag(0x7310) not in blob
+        assert struct_pack_tag(0x7010) not in blob
+
+    def test_sr2_decrypt_symmetric(self):
+        """The SR2 cipher is a self-inverse XOR keystream that actually
+        scrambles (dcraw's sony_decrypt keystream)."""
+        from neural_imaging_tpu.data import sony
+        rng = np.random.default_rng(11)
+        blob = rng.integers(0, 256, 257, dtype=np.uint8).tobytes()
+        enc = sony.decrypt(blob, 0xDEADBEEF)
+        assert enc != blob
+        assert sony.decrypt(enc, 0xDEADBEEF) == blob
+        assert sony.decrypt(enc, 0xDEADBEE0) != blob  # wrong key stays garbage
+
+    def test_craw_unpack_normalization(self, tmp_path):
+        """raw.unpack develops a cRAW like any other container: black/white
+        normalization from the decrypted SR2 levels, WB applied."""
+        from neural_imaging_tpu.data import camera_raw, sony
+        posts = [1000 << 2, 2500 << 2, 3200 << 2, 3900 << 2]
+        curve = sony.build_curve(posts)
+        codes = self._smooth_codes(32, 64, seed=5)
+        linear = (curve[codes.astype(np.int32) << 1] >> 2).astype(np.uint16)
+        path = str(tmp_path / 'u.arw')
+        camera_raw.write_arw(path, linear, compression='sony-craw',
+                             sr2_meta={'curve_posts': posts, 'black': 512,
+                                       'key': 1234})
+        stack, cfa, _, _ = raw.unpack(path, use_wb=False)
+        assert cfa == 'RGGB' and stack.shape == (16, 32, 4)
+        white = sony.curve_white(curve)
+        expect = np.clip((linear.astype(np.float32) - 512) / (white - 512), 0, 1)
+        # spot-check the stacked CFA planes (RGGB: R at (0,0), B at (1,1))
+        assert np.allclose(stack[..., 0], expect[0::2, 0::2], atol=1e-6)
+        assert np.allclose(stack[..., 3], expect[1::2, 1::2], atol=1e-6)
+
+    def test_curve_validation(self):
+        from neural_imaging_tpu.data import sony
+        with pytest.raises(sony.SonyFormatError, match='monotone'):
+            sony.build_curve([3000 << 2, 1000 << 2, 3200 << 2, 3900 << 2])
+        with pytest.raises(sony.SonyFormatError, match='width'):
+            sony.encode(np.zeros((4, 20), np.uint16))
+
+
+def struct_pack_tag(tag):
+    import struct
+    # TIFF entry prefix: tag id + type SHORT (enough to spot plaintext tags)
+    return struct.pack('<HH', tag, 3)
+
+
 def struct_pack_compression(value):
     import struct
     # TIFF entry: tag 259 (Compression), type SHORT, count 1, inline value
