@@ -13,11 +13,11 @@ vendor containers, all of which are TIFF variants:
   the Canon MakerNote ColorData block (tag 0x4001) when present.
 - **NEF** (Nikon): TIFF-EP with the raw image in a SubIFD
   (Photometric=CFA). Uncompressed 12/14-bit NEFs pack samples as an MSB-first
-  bitstream; 16-bit containers are plain words. Nikon's type-34713 **lossless**
-  entropy coding is decoded natively (``data/nikon.py`` + the C++ scan core);
-  the lossy 34713 variants (curve + tree split) raise
-  :class:`UnsupportedRawError` with a convert-to-DNG hint (they fall through
-  to rawpy when it is installed).
+  bitstream; 16-bit containers are plain words. Nikon's type-34713 entropy
+  coding is decoded natively in **both** variants (``data/nikon.py`` + the C++
+  scan core): lossless (ver 0x46), and lossy with the linearization curve
+  (type-1 verbatim / type-2 interpolated grid) and the after-split Huffman
+  trees whose shifted symbols quantize mid-size differences.
 - **ARW** (Sony): TIFF-EP, uncompressed 12/14/16-bit raw SubIFD. Sony's
   cRAW/ARW2 coding (Compression=32767) is decoded natively (``data/sony.py``):
   16-pixel max/min/delta blocks, the segmented tone curve from private tag
@@ -620,13 +620,18 @@ def _pack_bitstream(mosaic, bits):
 
 
 def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, white,
-                   black_style='dng', compression='none'):
+                   black_style='dng', compression='none', nikon_split=0,
+                   nikon_curve_samples=None, nikon_curve=None):
     """``black_style``: 'dng' emits the DNG BlackLevel tag; 'sony' the vendor
     tag 0x7310 (what real ARWs carry); 'none' omits level metadata entirely so
     the reader's per-make default path is exercised.
 
     ``compression='nikon-lossless'`` writes a type-34713 entropy-coded payload
-    plus the MakerNote tag 0x0096 metadata chain the reader must follow."""
+    plus the MakerNote tag 0x0096 metadata chain the reader must follow;
+    ``'nikon-lossy'`` the lossy variant (``mosaic`` is then in the curve-index
+    domain): ``nikon_split``/``nikon_curve_samples`` emit the type-2 layout
+    (interpolated curve + tree split), ``nikon_curve`` the type-1 verbatim
+    curve, neither an identity-linearization lossy stream."""
     mosaic = np.ascontiguousarray(np.asarray(mosaic, dtype=np.uint16))
     h, w = mosaic.shape
     if mosaic.max(initial=0) >= (1 << bits):
@@ -635,6 +640,21 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
     if compression == 'nikon-lossless':
         from neural_imaging_tpu.data import nikon
         pixel_data, nikon_meta = nikon.encode(mosaic, bits)
+        compression_tag = _COMPRESSION_NIKON
+    elif compression == 'nikon-lossy':
+        from neural_imaging_tpu.data import nikon
+        pixel_data, _, vpred = nikon.encode_lossy(mosaic, bits,
+                                                  split=nikon_split)
+        if nikon_split or nikon_curve_samples is not None:
+            if nikon_curve_samples is None:  # identity curve on a 17-pt grid
+                step = ((1 << bits) & 0x7FFF) // 16
+                nikon_curve_samples = (np.arange(17) * step).astype(np.uint16)
+            nikon_meta = nikon.build_meta_lossy(
+                vpred, curve_samples=nikon_curve_samples, split=nikon_split)
+        elif nikon_curve is not None:
+            nikon_meta = nikon.build_meta_lossy(vpred, full_curve=nikon_curve)
+        else:
+            nikon_meta = nikon.build_meta_lossy(vpred)
         compression_tag = _COMPRESSION_NIKON
     elif compression == 'none':
         if bits == 16:
@@ -715,12 +735,15 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
 
 def write_nef(filename, mosaic_u16, cfa_pattern='GBRG', bits=14, black=0,
               white=None, camera='NIKON (synthetic)', black_style='dng',
-              compression='none'):
-    """Write a NEF-layout file: uncompressed (bit-packed for bits<16) or
-    ``compression='nikon-lossless'`` for a type-34713 entropy-coded payload."""
+              compression='none', **nikon_kw):
+    """Write a NEF-layout file: uncompressed (bit-packed for bits<16), or
+    ``compression='nikon-lossless'`` / ``'nikon-lossy'`` for type-34713
+    entropy-coded payloads (lossy takes ``nikon_split`` /
+    ``nikon_curve_samples`` / ``nikon_curve`` — see :func:`_write_tiff_ep`)."""
     return _write_tiff_ep(filename, mosaic_u16, cfa_pattern, bits,
                           'NIKON CORPORATION', camera, black, white,
-                          black_style=black_style, compression=compression)
+                          black_style=black_style, compression=compression,
+                          **nikon_kw)
 
 
 def write_arw(filename, mosaic_u16, cfa_pattern='RGGB', bits=16, black=0,

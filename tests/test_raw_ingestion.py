@@ -234,21 +234,73 @@ class TestVendorContainers:
         d = camera_raw.read_nef(path)
         assert np.array_equal(d['mosaic'], mosaic)
 
-    def test_nef_lossy_variant_rejected(self, tmp_path):
-        """Lossy 34713 versions (curve + tree split) are out of scope: clear
-        UnsupportedRawError (falls through to rawpy when installed)."""
+    @pytest.mark.parametrize('bits', [12, 14])
+    def test_nef_lossy_no_split_round_trip(self, tmp_path, bits):
+        """Lossy 34713, pre-split tree only: every SSSS category is present as
+        a plain symbol, so the coding is exact (the loss enters only via the
+        curve and the after-split trees)."""
+        from neural_imaging_tpu.data import camera_raw
+        rng = np.random.default_rng(bits)
+        mosaic = rng.integers(0, 1 << bits, (18, 22)).astype(np.uint16)
+        path = str(tmp_path / 'ly.nef')
+        camera_raw.write_nef(path, mosaic, bits=bits, black=3,
+                             compression='nikon-lossy')
+        d = camera_raw.read_nef(path)
+        assert np.array_equal(d['mosaic'], mosaic)
+        assert d['black'] == 3
+
+    def test_nef_lossy_split_and_curve(self, tmp_path):
+        """Lossy type 2 (ver 0x44/0x20): interpolated linearization curve +
+        after-split tree switch. The shifted symbols quantize differences by
+        at most 2**shl in the index domain; the stream still decodes
+        deterministically (encoder runs the decoder closed-loop)."""
         from neural_imaging_tpu.data import camera_raw, nikon
-        mosaic = np.zeros((8, 8), np.uint16)
-        path = str(tmp_path / 'l.nef')
-        camera_raw.write_nef(path, mosaic, bits=14, compression='nikon-lossless')
-        blob = bytearray(open(path, 'rb').read())
-        payload, meta = nikon.encode(mosaic, 14)
-        pos = blob.find(bytes(meta[:10]))
-        assert pos > 0
-        blob[pos] = 0x44  # ver0: lossy type 2
-        open(path, 'wb').write(bytes(blob))
-        with pytest.raises(camera_raw.UnsupportedRawError, match='lossy|0x44'):
-            camera_raw.read_nef(path)
+        bits, h, w, split = 14, 20, 26, 8
+        rng = np.random.default_rng(42)
+        idx = rng.integers(0, 1 << bits, (h, w)).astype(np.uint16)
+        # gamma-ish curve sampled on the type-2 grid (strictly increasing)
+        grid = np.arange(17) / 16.0
+        samples = (grid ** 0.45 * 16000).astype(np.uint16)
+        path = str(tmp_path / 'ls.nef')
+        camera_raw.write_nef(path, idx, bits=bits, compression='nikon-lossy',
+                             nikon_split=split, nikon_curve_samples=samples)
+        d = camera_raw.read_nef(path)
+        # expected: closed-loop reconstruction mapped through the same curve
+        _, recon, vpred = nikon.encode_lossy(idx, bits, split=split)
+        meta = nikon.parse_meta(nikon.build_meta_lossy(
+            vpred, curve_samples=samples, split=split), bits=bits)
+        assert meta['split'] == split and meta['curve'] is not None
+        expect = meta['curve'][np.clip(recon, 0, len(meta['curve']) - 1)]
+        assert np.array_equal(d['mosaic'], expect)
+        # pre-split rows are exact; post-split quantization is bounded (the
+        # largest shl in the 14-bit after-split tree is 5 → error < 2**5)
+        assert np.array_equal(recon[:split], idx[:split].astype(np.int32))
+        assert np.abs(recon[split:] - idx[split:].astype(np.int32)).max() < 32
+
+    def test_nef_lossy_type1_verbatim_curve(self, tmp_path):
+        """Lossy type 1 (other version bytes): the full curve is stored
+        verbatim in the metadata block."""
+        from neural_imaging_tpu.data import camera_raw, nikon
+        bits = 12
+        rng = np.random.default_rng(7)
+        curve = np.cumsum(rng.integers(1, 5, 1 << bits)).astype(np.uint16)
+        idx = rng.integers(0, 1 << bits, (10, 14)).astype(np.uint16)
+        path = str(tmp_path / 'l1.nef')
+        camera_raw.write_nef(path, idx, bits=bits, compression='nikon-lossy',
+                             nikon_curve=curve,
+                             white=int(curve.max()))
+        d = camera_raw.read_nef(path)
+        assert np.array_equal(d['mosaic'], curve[idx])
+        assert d['white'] == int(curve.max())
+
+    def test_nikon_trees_kraft_complete(self):
+        """All six published Huffman BITS rows must be Kraft-complete and
+        consistent with their value counts (guards the format constants)."""
+        from neural_imaging_tpu.data import nikon
+        for (variant, bits), (tree_bits, tree_vals) in nikon.TREES.items():
+            assert sum(tree_bits) == len(tree_vals), (variant, bits)
+            kraft = sum(n * 2.0 ** -(i + 1) for i, n in enumerate(tree_bits))
+            assert kraft == 1.0, (variant, bits, kraft)
 
     def test_unpack_parity_across_containers(self, tmp_path, photo):
         """The same simulated capture written as DNG / CR2 / NEF / ARW unpacks
