@@ -397,7 +397,12 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
         sony_priv = _sony_private_ifd(buf, endian, ifds)
         posts = _tag(sony_priv, _TAG_SONY_CURVE) if sony_priv else None
         if posts is not None:
-            sony_curve = sony.build_curve(posts)
+            try:
+                sony_curve = sony.build_curve(posts)
+            except sony.SonyFormatError:
+                # garbage private block (e.g. wrong key) → same graceful path
+                # as an absent chain: linear 11-bit codes + default levels
+                sony_priv = sony_curve = None
     if compression not in (_COMPRESSION_NONE, _COMPRESSION_NIKON,
                            _COMPRESSION_SONY):
         raise UnsupportedRawError(

@@ -497,6 +497,38 @@ class TestSonyCRaw:
         with pytest.raises(sony.SonyFormatError, match='width'):
             sony.encode(np.zeros((4, 20), np.uint16))
 
+    def test_malformed_craw_degrades_cleanly(self, tmp_path):
+        """Corruption never escapes as a raw struct/Sony error: truncated
+        pixel data raises DNGError; a broken SR2 chain (wrong key, OOB offset)
+        falls back to the no-metadata path like an absent chain."""
+        import struct
+        from neural_imaging_tpu.data import camera_raw
+        codes = self._smooth_codes(24, 64, seed=2)
+        path = str(tmp_path / 'f.arw')
+        # no curve: the payload holds plain 11-bit codes, so the broken-chain
+        # fallback must still return them bit-exactly
+        camera_raw.write_arw(path, codes, compression='sony-craw',
+                             sr2_meta={'black': 512, 'key': 99})
+        good = open(path, 'rb').read()
+
+        open(path, 'wb').write(good[:len(good) // 2])   # truncated payload
+        with pytest.raises(camera_raw.DNGError):
+            camera_raw.read_arw(path)
+
+        blob = bytearray(good)                          # wrong SR2 key
+        pos = blob.find(struct.pack('<HH', 0x7221, 4))
+        blob[pos + 8:pos + 12] = struct.pack('<I', 98)
+        open(path, 'wb').write(bytes(blob))
+        d = camera_raw.read_arw(path)                   # codes, default levels
+        assert d['white'] == 2047 and np.array_equal(d['mosaic'], codes)
+
+        blob = bytearray(good)                          # OOB SR2 offset
+        pos = blob.find(struct.pack('<HH', 0x7200, 4))
+        blob[pos + 8:pos + 12] = struct.pack('<I', 2 ** 31)
+        open(path, 'wb').write(bytes(blob))
+        d = camera_raw.read_arw(path)
+        assert np.array_equal(d['mosaic'], codes)
+
 
 def struct_pack_tag(tag):
     import struct
