@@ -22,9 +22,10 @@ vendor containers, all of which are TIFF variants:
   cRAW/ARW2 coding (Compression=32767) is decoded natively (``data/sony.py``):
   16-pixel max/min/delta blocks, the segmented tone curve from private tag
   0x7010, and the XOR-encrypted SR2 metadata chain (tags 0x7200/0x7201/0x7221
-  → curve, per-channel black 0x7310, as-shot WB 0x7313). Only the
-  lossless-LJPEG ARW variant of the newest bodies (Compression=7) still
-  raises :class:`UnsupportedRawError`.
+  → curve, per-channel black 0x7310, as-shot WB 0x7313). The
+  lossless-compressed ARW of the newest bodies (Compression=7) is read as
+  standard TIFF tiled/stripped SOF3 via the shared lossless-JPEG machinery
+  (``data/dng.py`` + ``data/ljpeg.py``).
 
 Pixel decode is exact and covered by hermetic round-trip tests (each writer
 below produces spec-layout files the reader must invert, and the same mosaic
@@ -61,6 +62,7 @@ _TAG_CANON_COLOR_DATA = 0x4001  # MakerNote: ColorData block with as-shot WB
 
 _COMPRESSION_NONE = 1
 _COMPRESSION_OLD_JPEG = 6       # CR2 uses the legacy tag id for its SOF3 payload
+_COMPRESSION_LJPEG = 7          # lossless JPEG (SOF3) strips/tiles — newest ARWs
 _COMPRESSION_NIKON = 34713
 _COMPRESSION_SONY = 32767
 
@@ -403,8 +405,8 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
                 # garbage private block (e.g. wrong key) → same graceful path
                 # as an absent chain: linear 11-bit codes + default levels
                 sony_priv = sony_curve = None
-    if compression not in (_COMPRESSION_NONE, _COMPRESSION_NIKON,
-                           _COMPRESSION_SONY):
+    if compression not in (_COMPRESSION_NONE, _COMPRESSION_LJPEG,
+                           _COMPRESSION_NIKON, _COMPRESSION_SONY):
         raise UnsupportedRawError(
             f'{vendor} compression={compression} is not natively supported.')
 
@@ -415,35 +417,44 @@ def _read_tiff_ep_raw(filename, default_cfa, vendor):
     # declare BitsPerSample=8, so the depth check only applies to uncompressed
     if compression != _COMPRESSION_SONY and bits not in (12, 14, 16):
         raise DNGError(f'Unsupported {vendor} bit depth: {bits}')
-    offsets = _tag(raw_ifd, _TAG_STRIP_OFFSETS)
-    counts = _tag(raw_ifd, _TAG_STRIP_BYTE_COUNTS)
-    if offsets is None or counts is None:
-        raise DNGError(f'{vendor} raw IFD is missing strip offsets/byte counts')
-    data = b''.join(buf[o:o + c] for o, c in zip(offsets, counts))
 
-    n = width * length
-    if nikon_meta is not None:
-        from neural_imaging_tpu.data import nikon
-        try:
-            mosaic = nikon.decode(data, length, width, bits, nikon_meta, endian)
-        except nikon.NikonFormatError as e:
-            raise UnsupportedRawError(str(e)) from e
-    elif compression == _COMPRESSION_SONY:
-        from neural_imaging_tpu.data import sony
-        try:
-            mosaic = sony.decode(data, length, width, curve=sony_curve)
-        except sony.SonyFormatError as e:
-            raise UnsupportedRawError(str(e)) from e
-    elif len(data) >= 2 * n:
-        dtype = np.dtype(('<' if endian == '<' else '>') + 'u2')
-        mosaic = np.frombuffer(data, dtype=dtype, count=n).reshape(length, width)
-        mosaic = mosaic.astype(np.uint16)
-    elif len(data) * 8 >= n * bits:
-        mosaic = _unpack_bitpacked(data, n, bits).reshape(length, width)
+    if compression == _COMPRESSION_LJPEG:
+        # SOF3 strips or tiles — the newest Sony bodies' lossless-compressed
+        # ARW; decoded by the same machinery as lossless-JPEG DNGs
+        mosaic = _dng._read_lossless_jpeg_cfa(buf, raw_ifd, length, width)
     else:
-        raise DNGError(
-            f'{vendor} strip data ({len(data)} bytes) is too short for a '
-            f'{length}x{width}x{bits}-bit mosaic')
+        offsets = _tag(raw_ifd, _TAG_STRIP_OFFSETS)
+        counts = _tag(raw_ifd, _TAG_STRIP_BYTE_COUNTS)
+        if offsets is None or counts is None:
+            raise DNGError(
+                f'{vendor} raw IFD is missing strip offsets/byte counts')
+        data = b''.join(buf[o:o + c] for o, c in zip(offsets, counts))
+
+        n = width * length
+        if nikon_meta is not None:
+            from neural_imaging_tpu.data import nikon
+            try:
+                mosaic = nikon.decode(data, length, width, bits, nikon_meta,
+                                      endian)
+            except nikon.NikonFormatError as e:
+                raise UnsupportedRawError(str(e)) from e
+        elif compression == _COMPRESSION_SONY:
+            from neural_imaging_tpu.data import sony
+            try:
+                mosaic = sony.decode(data, length, width, curve=sony_curve)
+            except sony.SonyFormatError as e:
+                raise UnsupportedRawError(str(e)) from e
+        elif len(data) >= 2 * n:
+            dtype = np.dtype(('<' if endian == '<' else '>') + 'u2')
+            mosaic = np.frombuffer(data, dtype=dtype,
+                                   count=n).reshape(length, width)
+            mosaic = mosaic.astype(np.uint16)
+        elif len(data) * 8 >= n * bits:
+            mosaic = _unpack_bitpacked(data, n, bits).reshape(length, width)
+        else:
+            raise DNGError(
+                f'{vendor} strip data ({len(data)} bytes) is too short for a '
+                f'{length}x{width}x{bits}-bit mosaic')
 
     cfa = _cfa_from_ifd(raw_ifd, default=default_cfa)
     ifd0 = ifds[0]
@@ -626,7 +637,7 @@ def _pack_bitstream(mosaic, bits):
 
 def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, white,
                    black_style='dng', compression='none', nikon_split=0,
-                   nikon_curve_samples=None, nikon_curve=None):
+                   nikon_curve_samples=None, nikon_curve=None, tile_width=0):
     """``black_style``: 'dng' emits the DNG BlackLevel tag; 'sony' the vendor
     tag 0x7310 (what real ARWs carry); 'none' omits level metadata entirely so
     the reader's per-make default path is exercised.
@@ -636,7 +647,9 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
     ``'nikon-lossy'`` the lossy variant (``mosaic`` is then in the curve-index
     domain): ``nikon_split``/``nikon_curve_samples`` emit the type-2 layout
     (interpolated curve + tree split), ``nikon_curve`` the type-1 verbatim
-    curve, neither an identity-linearization lossy stream."""
+    curve, neither an identity-linearization lossy stream.
+    ``compression='ljpeg'`` writes SOF3 payloads — one strip, or full-height
+    column-band tiles of ``tile_width`` (the newest Sony ARW layout)."""
     mosaic = np.ascontiguousarray(np.asarray(mosaic, dtype=np.uint16))
     h, w = mosaic.shape
     if mosaic.max(initial=0) >= (1 << bits):
@@ -661,6 +674,33 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
         else:
             nikon_meta = nikon.build_meta_lossy(vpred)
         compression_tag = _COMPRESSION_NIKON
+    elif compression == 'ljpeg':
+        # SOF3, two column-interleaved components (as lossless DNG/CR2 code
+        # them); one strip, or column bands of ``tile_width`` when tiled —
+        # the layout of the newest Sony lossless-compressed ARWs
+        from neural_imaging_tpu.data import ljpeg
+        if w % 2:
+            raise DNGError('ljpeg TIFF-EP writing needs an even mosaic width')
+
+        def encode_band(band):
+            comps = np.stack([band[:, 0::2], band[:, 1::2]], axis=-1)
+            return ljpeg.encode(np.ascontiguousarray(comps), precision=bits)
+
+        if tile_width:
+            if tile_width % 2:
+                raise DNGError('ljpeg tile width must be even')
+            tiles = []
+            for x0 in range(0, w, tile_width):
+                band = mosaic[:, x0:x0 + tile_width]
+                if band.shape[1] < tile_width:   # pad; the reader crops
+                    band = np.pad(band,
+                                  ((0, 0), (0, tile_width - band.shape[1])))
+                tiles.append(encode_band(band))
+            pixel_data = b''.join(tiles)
+            tile_counts = [len(t) for t in tiles]
+        else:
+            pixel_data = encode_band(mosaic)
+        compression_tag = _COMPRESSION_LJPEG
     elif compression == 'none':
         if bits == 16:
             pixel_data = mosaic.astype('<u2').tobytes()
@@ -691,6 +731,20 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
                      + struct.pack('<HHII', _TAG_MAKERNOTE, 7, len(mk_blob), mk_off)
                      + struct.pack('<I', 0))
 
+    tiled = compression == 'ljpeg' and tile_width
+    if tiled:
+        segment_entries = [
+            (_dng._TAG_TILE_WIDTH, _LONG, (tile_width,)),
+            (_dng._TAG_TILE_LENGTH, _LONG, (h,)),
+            (_dng._TAG_TILE_OFFSETS, _LONG, (0,) * len(tile_counts)),  # patched
+            (_dng._TAG_TILE_BYTE_COUNTS, _LONG, tuple(tile_counts)),
+        ]
+    else:
+        segment_entries = [
+            (_TAG_STRIP_OFFSETS, _LONG, (0,)),  # patched
+            (_TAG_ROWS_PER_STRIP, _LONG, (h,)),
+            (_TAG_STRIP_BYTE_COUNTS, _LONG, (len(pixel_data),)),
+        ]
     raw_entries = [
         (_TAG_NEW_SUBFILE_TYPE, _LONG, (0,)),
         (_TAG_WIDTH, _LONG, (w,)),
@@ -698,10 +752,8 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
         (_TAG_BITS, _SHORT, (bits,)),
         (_TAG_COMPRESSION, _SHORT, (compression_tag,)),
         (_TAG_PHOTOMETRIC, _SHORT, (_PHOTOMETRIC_CFA,)),
-        (_TAG_STRIP_OFFSETS, _LONG, (0,)),  # patched
+        *segment_entries,
         (_TAG_SAMPLES_PER_PIXEL, _SHORT, (1,)),
-        (_TAG_ROWS_PER_STRIP, _LONG, (h,)),
-        (_TAG_STRIP_BYTE_COUNTS, _LONG, (len(pixel_data),)),
         (_TAG_PLANAR_CONFIG, _SHORT, (1,)),
         (_TAG_CFA_REPEAT_DIM, _SHORT, (2, 2)),
         (_TAG_CFA_PATTERN, _BYTE,
@@ -729,7 +781,16 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
     ifd0_blob = sized(ifd0_entries, ifd0_off)
     raw_blob = sized(raw_entries, raw_off)
     payload_off = raw_off + len(raw_blob)
-    raw_entries[6] = (_TAG_STRIP_OFFSETS, _LONG, (payload_off,))
+    if tiled:
+        offs, acc = [], payload_off
+        for c in tile_counts:
+            offs.append(acc)
+            acc += c
+        patch = (_dng._TAG_TILE_OFFSETS, _LONG, tuple(offs))
+    else:
+        patch = (_TAG_STRIP_OFFSETS, _LONG, (payload_off,))
+    idx = next(i for i, e in enumerate(raw_entries) if e[0] == patch[0])
+    raw_entries[idx] = patch
     raw_blob = sized(raw_entries, raw_off)
 
     with open(filename, 'wb') as fh:
@@ -753,17 +814,20 @@ def write_nef(filename, mosaic_u16, cfa_pattern='GBRG', bits=14, black=0,
 
 def write_arw(filename, mosaic_u16, cfa_pattern='RGGB', bits=16, black=0,
               white=None, camera='SONY (synthetic)', black_style='dng',
-              compression='none', sr2_meta=None):
-    """Write an ARW-layout file: uncompressed, or ``compression='sony-craw'``
+              compression='none', sr2_meta=None, tile_width=0):
+    """Write an ARW-layout file: uncompressed, ``compression='sony-craw'``
     for the ARW2 block coding (with ``sr2_meta`` for the real-style encrypted
-    metadata chain — see :func:`write_arw_craw`)."""
+    metadata chain — see :func:`write_arw_craw`), or ``'ljpeg'`` for the
+    SOF3-coded layout of the newest bodies (full-height column-band tiles
+    when ``tile_width`` is set, one strip otherwise)."""
     if compression == 'sony-craw':
         return write_arw_craw(filename, mosaic_u16, cfa_pattern=cfa_pattern,
                               camera=camera, sr2_meta=sr2_meta)
-    if compression != 'none':
+    if compression not in ('none', 'ljpeg'):
         raise DNGError(f'Unknown ARW writer compression {compression}')
     return _write_tiff_ep(filename, mosaic_u16, cfa_pattern, bits,
-                          'SONY', camera, black, white, black_style=black_style)
+                          'SONY', camera, black, white, black_style=black_style,
+                          compression=compression, tile_width=tile_width)
 
 
 def write_arw_craw(filename, mosaic_u16, cfa_pattern='RGGB',

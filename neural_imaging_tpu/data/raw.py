@@ -16,9 +16,9 @@ Camera files are parsed natively, no libRAW needed: ``.dng`` (data/dng.py —
 uncompressed AND lossless-JPEG compressed CFA), ``.cr2`` (data/camera_raw.py —
 sliced SOF3 payload + MakerNote WB), ``.nef``/``.arw`` (uncompressed/bit-packed
 TIFF-EP, Nikon type-34713 lossless AND lossy codings via data/nikon.py, Sony
-cRAW/ARW2 incl. the encrypted SR2 metadata via data/sony.py). The one
-remaining vendor coding (LJPEG ARW of the newest Sony bodies) falls back to
-rawpy when it is installed.
+cRAW/ARW2 incl. the encrypted SR2 metadata via data/sony.py, tiled/stripped
+SOF3 ARW via the shared lossless-JPEG machinery). Structurally unexpected
+real-world files still fall back to rawpy when it is installed.
 
 Synthetic RAW container (``*.nraw.npz``): mosaic (uint16 h×w), black, saturation,
 cam_mul (4,), cfa (str), cam2srgb (3×3). Produced by

@@ -293,6 +293,23 @@ class TestVendorContainers:
         assert np.array_equal(d['mosaic'], curve[idx])
         assert d['white'] == int(curve.max())
 
+    @pytest.mark.parametrize('tile_width', [0, 16, 32])
+    def test_arw_ljpeg_round_trip(self, tmp_path, tile_width):
+        """Compression=7 ARW (newest Sony bodies): SOF3 payload as one strip
+        or full-height column-band tiles (incl. a ragged last band that the
+        writer pads and the reader crops). Decoded by the same machinery as
+        lossless-JPEG DNGs (data/dng.py + data/ljpeg.py)."""
+        from neural_imaging_tpu.data import camera_raw
+        rng = np.random.default_rng(tile_width)
+        mosaic = rng.integers(0, 1 << 14, (40, 60)).astype(np.uint16)
+        path = str(tmp_path / 'lj.arw')
+        camera_raw.write_arw(path, mosaic, bits=14, compression='ljpeg',
+                             tile_width=tile_width, black=512,
+                             black_style='sony')
+        d = camera_raw.read_arw(path)
+        assert np.array_equal(d['mosaic'], mosaic)
+        assert d['black'] == 512 and d['white'] == (1 << 14) - 1
+
     def test_nikon_trees_kraft_complete(self):
         """All six published Huffman BITS rows must be Kraft-complete and
         consistent with their value counts (guards the format constants)."""
