@@ -95,8 +95,14 @@ def validate_nip(model, data, save_dir=None, epoch=0, show_ref=False, loss_type=
     return ssims, psnrs, losses
 
 
-def validate_fan(flow, data, get_labels=False):
-    """Accuracy + n×n confusion matrix of the workflow's FAN on validation data."""
+def validate_fan(flow, data, get_labels=False, randomize=False, repeats=1):
+    """Accuracy + n×n confusion matrix of the workflow's FAN on validation data.
+
+    ``randomize=True`` evaluates each batch with freshly randomized
+    manipulation strengths (the distribution the augmented trainer optimizes,
+    ``--augment``) instead of the fixed canonical strengths; ``repeats`` passes
+    over the validation set aggregate the accuracy/confusion across independent
+    strength draws."""
     batch_size = min(10, data.count_validation)
     n_batches = data.count_validation // batch_size
     n_classes = flow.n_classes
@@ -104,12 +110,12 @@ def validate_fan(flow, data, get_labels=False):
     out_labels = []
     accuracies = []
 
-    for batch in range(n_batches):
-        batch_x = data.next_validation_batch(batch, batch_size)
+    for batch in range(n_batches * max(1, repeats)):
+        batch_x = data.next_validation_batch(batch % n_batches, batch_size)
         if isinstance(batch_x, tuple):
             batch_x = batch_x[0]
         batch_labels = flow._batch_labels(len(batch_x))
-        predicted = flow.run_workflow_to_decisions(batch_x)
+        predicted = flow.run_workflow_to_decisions(batch_x, augment=randomize)
         if get_labels:
             out_labels += list(predicted)
         for c in range(n_classes):

@@ -376,15 +376,24 @@ class ManipulationClassification:
 
     def run_workflow(self, batch_x, augment=False, training=False):
         """raw → ... → class probabilities.
-        Returns (batch_Y, batch_c, batch_C, entropy, probabilities)."""
-        if 'forward' not in self._jitted:
-            self._jitted['forward'] = jax.jit(self._forward)
-        ql, qc = self._channel_qtables()
-        return self._jitted['forward'](self.params, jnp.asarray(batch_x, jnp.float32),
-                                       self._next_key(), jnp.asarray(ql), jnp.asarray(qc))
+        Returns (batch_Y, batch_c, batch_C, entropy, probabilities).
 
-    def run_workflow_to_decisions(self, batch_x):
-        probs = self.run_workflow(batch_x)[-1]
+        ``augment=True`` draws randomized manipulation strengths (and a
+        randomized channel quality when the codec's quality is a range/set) —
+        the same distribution the augmented trainer optimizes — so validation
+        can measure accuracy under variable-strength deployment rather than
+        only at the fixed canonical strengths."""
+        cache = 'forward_rand' if augment else 'forward'
+        if cache not in self._jitted:
+            self._jitted[cache] = jax.jit(self._forward)
+        ql, qc = self._channel_qtables()
+        args = self._sample_strengths() if augment else ()
+        return self._jitted[cache](self.params, jnp.asarray(batch_x, jnp.float32),
+                                   self._next_key(), jnp.asarray(ql), jnp.asarray(qc),
+                                   *args)
+
+    def run_workflow_to_decisions(self, batch_x, augment=False):
+        probs = self.run_workflow(batch_x, augment=augment)[-1]
         return np.asarray(probs).argmax(axis=1)
 
     def run_manipulations(self, batch_y, randomize=False, override=None):

@@ -88,6 +88,13 @@ def main():
                         help='override downsampling')
     parser.add_argument('--manip', default=None,
                         help='override manipulation list, e.g. sharpen,jpeg,gaussian')
+    parser.add_argument('--randomize', action='store_true',
+                        help='validate with randomized manipulation strengths (the '
+                             'distribution `--augment` training optimizes) instead '
+                             'of the fixed canonical strengths')
+    parser.add_argument('--repeats', type=int, default=1,
+                        help='validation passes to aggregate (independent strength '
+                             'draws when --randomize)')
     args = parser.parse_args()
 
     if (args.run_dir is None) == (args.dir is None):
@@ -138,8 +145,12 @@ def main():
             print(f"Skipping {filename}: no dataset available in '{load}' mode")
             continue
 
-        accuracy, conf = validation.validate_fan(flow, data)
-        print(f'\nAccuracy validated/expected: {accuracy:.4f} / {expected:.4f}\n')
+        accuracy, conf = validation.validate_fan(flow, data,
+                                                 randomize=args.randomize,
+                                                 repeats=args.repeats)
+        mode = ' [randomized strengths]' if args.randomize else ''
+        print(f'\nAccuracy validated/expected{mode}: '
+              f'{accuracy:.4f} / {expected:.4f}\n')
         print(results_data.confusion_to_text(100 * conf, flow._forensics_classes,
                                              title=filename))
 

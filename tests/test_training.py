@@ -96,6 +96,15 @@ class TestValidationAndLogs:
         assert conf.shape == (2, 2)
         assert np.allclose(conf.sum(axis=1), 1, atol=1e-6)
 
+    def test_validate_fan_randomized(self, flow, data):
+        # randomized-strength validation: repeats aggregate independent draws
+        from neural_imaging_tpu.training import validation
+        accuracy, conf = validation.validate_fan(flow, data, randomize=True,
+                                                 repeats=2)
+        assert 0 <= accuracy <= 1
+        assert conf.shape == (2, 2)
+        assert np.allclose(conf.sum(axis=1), 1, atol=1e-6)
+
     def test_validate_nip(self, flow, data, tmp_path):
         from neural_imaging_tpu.training import validation
         ssims, psnrs, losses = validation.validate_nip(flow.nip, data, str(tmp_path))
