@@ -301,8 +301,9 @@ def train_manipulation_nip(flow, training, data, directories=None, overwrite=Fal
                     # fresh-initialized NIP and reports shifted accuracies.
                     flow.nip.save_model(os.path.join(model_directory, flow.nip.scoped_name),
                                         epoch, quiet=True)
-                from neural_imaging_tpu.models.compression import DCN
-                if isinstance(flow.codec, DCN) and flow.is_trainable('dcn'):
+                if flow.is_trainable('dcn'):
+                    # any trainable codec (DCN weights / JPEG qtables) is part
+                    # of the run directory's self-contained state
                     flow.codec.save_model(os.path.join(model_directory,
                                                        flow.codec.scoped_name),
                                           epoch, quiet=True)

@@ -618,6 +618,7 @@ class ManipulationClassification:
             self.codec.params = self.params['dcn']
         elif (self._distribution['compression'] == 'jpeg' and 'dcn' in self.params):
             self.codec._model.params = self.params['dcn']
+            self.codec.params = self.params['dcn']  # keep save_model in sync too
 
     # ------------------------------------------------------------------ summaries
 

@@ -235,6 +235,38 @@ class TestScenarioTools:
         assert fig.is_file()
         assert 'reps' in proc.stdout and 'accuracy' in proc.stdout
 
+    def test_jpeg_trainable_channel(self, dataset_dir, tmp_path):
+        """--jpeg-trainable exposes the trainable-qtable channel: the run lands
+        under the lc-λ codec directory, the tables move off the IJG-50 init,
+        and the learned tables are snapshotted into the run directory."""
+        root = tmp_path / 'm'
+        run_cli(['train_manipulation.py', '--nip', 'INet', '--cam', 'SyntheticCam',
+                 '--data', dataset_dir, '--split', '2:2:1', '--epochs', '4',
+                 '--patch', '16', '--batch', '2', '--val-schedule', '2',
+                 '--manip', 'sharpen', '--ds', 'none', '--jpeg', '50',
+                 '--jpeg-trainable', '--train', 'dcn', '--lc', '0.5',
+                 '--dir', str(root),
+                 '--fan', "{'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0}"])
+        run_dir = os.path.join(str(root), 'SyntheticCam', 'INet', 'fixed-nip',
+                               'lc-0.5000', '000')
+        assert os.path.isfile(os.path.join(run_dir, 'training.json'))
+        snap = os.path.join(run_dir, 'models', 'jpeg', 'jpeg.npz')
+        assert os.path.isfile(snap), 'learned qtables were not snapshotted'
+        from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
+        with np.load(snap) as z:
+            learned = z['q_mtx_luma']
+        assert not np.allclose(learned, jpeg_qtable(50, 0)), (
+            'snapshotted qtables still equal the IJG-50 initialization')
+
+    def test_jpeg_trainable_rejects_quality_range(self, tmp_path):
+        env = dict(os.environ, NI_TPU_PLATFORM='cpu', NI_TPU_CACHE_DIR='0')
+        proc = subprocess.run(
+            [sys.executable, 'train_manipulation.py', '--jpeg', '30,50',
+             '--jpeg-trainable', '--dir', str(tmp_path)],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=120)
+        assert proc.returncode != 0
+        assert 'scalar --jpeg quality' in proc.stderr
+
     def test_train_nip_group_selector(self, tmp_path):
         csv = tmp_path / 'sc.csv'
         csv.write_text('scenario,active,run_group,kernel\na,1,0,3\nb,1,1,5\nc,0,1,7\n')

@@ -43,6 +43,12 @@ def main():
     parser.add_argument('--nip-dir', default='./data/models/nip', help='NIP snapshots root')
     parser.add_argument('--jpeg', default=None,
                         help='JPEG channel: quality Q or range Q1,Q2')
+    parser.add_argument('--jpeg-trainable', action='store_true',
+                        help="make the channel JPEG's quantization tables "
+                             "trainable; optimize them with --train dcn "
+                             "(the generic trainable-codec slot) weighted by "
+                             "--lc. Beyond-reference: the reference CLI only "
+                             "exposes trainable DCN codecs")
     parser.add_argument('--dcn', default=None, help='DCN channel: model dir / preset')
     parser.add_argument('--ds', default='pool', choices=['pool', 'bilinear', 'none'],
                         help='channel downsampling')
@@ -97,9 +103,15 @@ def main():
     elif args.jpeg is not None:
         quality = ([int(q) for q in args.jpeg.split(',')] if ',' in args.jpeg
                    else int(args.jpeg))
+        if args.jpeg_trainable and (not isinstance(quality, int)
+                                    or args.jpeg_mode == 'libjpeg'):
+            parser.error('--jpeg-trainable needs a scalar --jpeg quality (the '
+                         'tables initialize from it) and a differentiable '
+                         '--jpeg_mode (soft/sin/harmonic)')
         distribution = {'downsampling': args.ds, 'compression': 'jpeg',
                         'compression_params': {'quality': quality,
-                                               'codec': args.jpeg_mode}}
+                                               'codec': args.jpeg_mode,
+                                               'trainable': args.jpeg_trainable}}
     else:
         distribution = {'downsampling': args.ds, 'compression': 'none'}
 
