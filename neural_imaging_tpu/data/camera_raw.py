@@ -50,6 +50,7 @@ from neural_imaging_tpu.data.dng import (
     _TAG_ROWS_PER_STRIP, _TAG_STRIP_BYTE_COUNTS, _TAG_STRIP_OFFSETS,
     _TAG_SUB_IFDS, _TAG_WHITE_LEVEL, _TAG_WIDTH, _CFA_CODE, _CFA_CODE_INV,
     _PHOTOMETRIC_CFA, _ASCII, _BYTE, _LONG, _SHORT,
+    _pack_bitpacked, _unpack_bitpacked,
 )
 
 _TAG_NEW_SUBFILE_TYPE = 254
@@ -124,34 +125,6 @@ def _open_tiff(filename):
     if magic != 42:
         raise DNGError('Not a TIFF-based RAW file (bad magic)')
     return buf, endian, first_ifd
-
-
-def _unpack_bitpacked(data, n_samples, bits):
-    """Unpack an MSB-first bitstream of ``bits``-wide samples (NEF/ARW packed).
-
-    Works on byte-aligned sample groups (lcm(bits, 8) bits: 3 bytes → two
-    12-bit samples, 7 bytes → four 14-bit samples) assembled into one uint64
-    per group — O(file size) transient memory, vs the ~1.5 GB an unpackbits
-    matrix costs for a 24 MP 14-bit NEF."""
-    import math
-    group_bits = bits * 8 // math.gcd(bits, 8)        # lcm(bits, 8)
-    group_bytes = group_bits // 8
-    group_samples = group_bits // bits
-    n_groups = -(-n_samples // group_samples)
-    need = n_groups * group_bytes
-    arr = np.frombuffer(data, dtype=np.uint8, count=min(len(data), need))
-    if len(arr) < need:                               # tolerate a short tail
-        arr = np.concatenate([arr, np.zeros(need - len(arr), np.uint8)])
-    grouped = arr.reshape(n_groups, group_bytes).astype(np.uint64)
-    packed = np.zeros(n_groups, dtype=np.uint64)
-    for i in range(group_bytes):                      # big-endian byte fold
-        packed = (packed << np.uint64(8)) | grouped[:, i]
-    mask = np.uint64((1 << bits) - 1)
-    out = np.empty((n_groups, group_samples), dtype=np.uint16)
-    for j in range(group_samples):
-        shift = np.uint64(group_bits - (j + 1) * bits)
-        out[:, j] = ((packed >> shift) & mask).astype(np.uint16)
-    return out.reshape(-1)[:n_samples]
 
 
 def _cfa_from_ifd(ifd, default='RGGB'):
@@ -628,13 +601,6 @@ def _slice_spans(widths):
         x0 += w
 
 
-def _pack_bitstream(mosaic, bits):
-    flat = mosaic.reshape(-1).astype(np.uint32)
-    shifts = np.arange(bits - 1, -1, -1)
-    bitmat = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
-    return np.packbits(bitmat.reshape(-1)).tobytes()
-
-
 def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, white,
                    black_style='dng', compression='none', nikon_split=0,
                    nikon_curve_samples=None, nikon_curve=None, tile_width=0):
@@ -705,7 +671,7 @@ def _write_tiff_ep(filename, mosaic, cfa_pattern, bits, make, camera, black, whi
         if bits == 16:
             pixel_data = mosaic.astype('<u2').tobytes()
         else:
-            pixel_data = _pack_bitstream(mosaic, bits)
+            pixel_data = _pack_bitpacked(mosaic, bits)
         compression_tag = _COMPRESSION_NONE
     else:
         raise DNGError(f'Unknown TIFF-EP writer compression {compression}')

@@ -2,7 +2,8 @@
 Pure-Python DNG (TIFF-EP) Bayer container support — read and write real camera
 RAW files without libRAW/rawpy.
 
-Scope: uncompressed CFA DNGs (Compression=1, 8/16-bit) AND lossless-JPEG
+Scope: uncompressed CFA DNGs (Compression=1 — 8/16-bit words, or the MSB-first
+bit-packed 12/14-bit rows real camera DNGs use) AND lossless-JPEG
 compressed CFA DNGs (Compression=7, SOF3 via data/ljpeg.py — strips or tiles),
 covering both variants ``dnglab``/``Adobe DNG Converter`` produce and cameras'
 native DNG modes. No rawpy/libRAW anywhere.
@@ -134,6 +135,43 @@ def _tag(ifd, tag, default=None):
     return default
 
 
+def _unpack_bitpacked(data, n_samples, bits):
+    """Unpack an MSB-first bitstream of ``bits``-wide samples (packed CFA rows).
+
+    Works on byte-aligned sample groups (lcm(bits, 8) bits: 3 bytes → two
+    12-bit samples, 7 bytes → four 14-bit samples) assembled into one uint64
+    per group — O(file size) transient memory, vs the ~1.5 GB an unpackbits
+    matrix costs for a 24 MP 14-bit mosaic."""
+    import math
+    group_bits = bits * 8 // math.gcd(bits, 8)        # lcm(bits, 8)
+    group_bytes = group_bits // 8
+    group_samples = group_bits // bits
+    n_groups = -(-n_samples // group_samples)
+    need = n_groups * group_bytes
+    arr = np.frombuffer(data, dtype=np.uint8, count=min(len(data), need))
+    if len(arr) < need:                               # tolerate a short tail
+        arr = np.concatenate([arr, np.zeros(need - len(arr), np.uint8)])
+    grouped = arr.reshape(n_groups, group_bytes).astype(np.uint64)
+    packed = np.zeros(n_groups, dtype=np.uint64)
+    for i in range(group_bytes):                      # big-endian byte fold
+        packed = (packed << np.uint64(8)) | grouped[:, i]
+    mask = np.uint64((1 << bits) - 1)
+    out = np.empty((n_groups, group_samples), dtype=np.uint16)
+    for j in range(group_samples):
+        shift = np.uint64(group_bits - (j + 1) * bits)
+        out[:, j] = ((packed >> shift) & mask).astype(np.uint16)
+    return out.reshape(-1)[:n_samples]
+
+
+def _pack_bitpacked(values, bits):
+    """Inverse of :func:`_unpack_bitpacked`: pack ``bits``-wide samples into an
+    MSB-first bitstream, zero-padded to a byte boundary (fixture writer side)."""
+    values = np.asarray(values, dtype=np.uint16).reshape(-1)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint32)
+    bit_matrix = ((values[:, None].astype(np.uint32) >> shifts) & 1).astype(np.uint8)
+    return np.packbits(bit_matrix.reshape(-1)).tobytes()
+
+
 def read_dng(filename):
     """
     Parse a DNG file. Returns a dict with:
@@ -189,9 +227,26 @@ def read_dng(filename):
         if offsets is None or counts is None:
             raise DNGError('Missing strip offsets/byte counts')
         data = b''.join(buf[o:o + c] for o, c in zip(offsets, counts))
-        dtype = np.dtype(('<' if endian == '<' else '>') + ('u2' if bits == 16 else 'u1'))
-        mosaic = np.frombuffer(data, dtype=dtype, count=width * length)
-        mosaic = mosaic.reshape(length, width).astype(np.uint16)
+        if bits in (8, 16):
+            dtype = np.dtype(('<' if endian == '<' else '>') + ('u2' if bits == 16 else 'u1'))
+            if len(data) < width * length * dtype.itemsize:
+                raise DNGError('Strip data is too short for the declared mosaic size')
+            mosaic = np.frombuffer(data, dtype=dtype, count=width * length)
+            mosaic = mosaic.reshape(length, width).astype(np.uint16)
+        else:
+            # 12/14-bit uncompressed CFA packs samples MSB-first (TIFF
+            # FillOrder=1), each row starting on a byte boundary.
+            row_bytes = (width * bits + 7) // 8
+            if len(data) < length * row_bytes:
+                raise DNGError('Strip data is too short for the declared mosaic size')
+            if (width * bits) % 8 == 0:
+                mosaic = _unpack_bitpacked(data, width * length, bits)
+                mosaic = mosaic.reshape(length, width)
+            else:  # per-row byte padding: unpack row by row
+                rows = np.frombuffer(data, np.uint8, count=length * row_bytes)
+                rows = rows.reshape(length, row_bytes)
+                mosaic = np.stack([_unpack_bitpacked(rows[r].tobytes(), width, bits)
+                                   for r in range(length)])
 
     dim = _tag(raw_ifd, _TAG_CFA_REPEAT_DIM, (2, 2))
     if tuple(dim) != (2, 2):
@@ -331,20 +386,25 @@ def _to_rational(v, signed=False, den=10000):
 
 def write_dng(filename, mosaic_u16, cfa_pattern='RGGB', black=0, white=None,
               cam_mul=(1.0, 1.0, 1.0, 1.0), cam2srgb=None, camera='neural-imaging-tpu',
-              compression='none'):
-    """Write a 16-bit Bayer DNG (single IFD, single strip).
+              compression='none', bits=16):
+    """Write a Bayer DNG (single IFD, single strip).
 
-    ``compression``: 'none' (tag 1, raw little-endian samples) or 'ljpeg'
-    (tag 7, lossless JPEG / SOF3 — the standard compressed-DNG encoding, with
-    the mosaic's even/odd columns as the scan's two components)."""
+    ``compression``: 'none' (tag 1, raw samples — little-endian uint16 at
+    ``bits=16``, MSB-first bit-packed rows at 12/14 bit like real camera DNGs)
+    or 'ljpeg' (tag 7, lossless JPEG / SOF3 — the standard compressed-DNG
+    encoding, with the mosaic's even/odd columns as the scan's two components)."""
     mosaic = np.ascontiguousarray(np.asarray(mosaic_u16, dtype=np.uint16))
     if mosaic.ndim != 2:
         raise DNGError('mosaic must be 2-D (H, W)')
     if compression not in ('none', 'ljpeg'):
         raise DNGError(f'Unsupported compression {compression!r}')
+    if bits not in (12, 14, 16):
+        raise DNGError(f'Unsupported bit depth {bits} (expected 12, 14 or 16)')
+    if bits < 16 and int(mosaic.max(initial=0)) >= (1 << bits):
+        raise DNGError(f'mosaic values exceed the declared {bits}-bit range')
     h, w = mosaic.shape
     if white is None:
-        white = (1 << 16) - 1
+        white = (1 << bits) - 1
     if cam2srgb is None:
         cam2srgb = np.eye(3)
     cm1 = cam2srgb_to_color_matrix(cam2srgb).reshape(-1)
@@ -359,15 +419,19 @@ def write_dng(filename, mosaic_u16, cfa_pattern='RGGB', black=0, white=None,
         if w % 2:
             raise DNGError('ljpeg DNG writing needs an even mosaic width')
         comps = np.stack([mosaic[:, 0::2], mosaic[:, 1::2]], axis=-1)
-        pixel_data = ljpeg.encode(comps, precision=16)
-    else:
+        pixel_data = ljpeg.encode(comps, precision=bits)
+    elif bits == 16:
         pixel_data = mosaic.astype('<u2').tobytes()
+    elif (w * bits) % 8 == 0:                  # rows already byte-aligned
+        pixel_data = _pack_bitpacked(mosaic, bits)
+    else:                                      # pad every row to a byte boundary
+        pixel_data = b''.join(_pack_bitpacked(mosaic[r], bits) for r in range(h))
 
     entries = [
         (_TAG_NEW_SUBFILE_TYPE, _LONG, (0,)),
         (_TAG_WIDTH, _LONG, (w,)),
         (_TAG_LENGTH, _LONG, (h,)),
-        (_TAG_BITS, _SHORT, (16,)),
+        (_TAG_BITS, _SHORT, (bits,)),
         (_TAG_COMPRESSION, _SHORT, (7 if compression == 'ljpeg' else 1,)),
         (_TAG_PHOTOMETRIC, _SHORT, (_PHOTOMETRIC_CFA,)),
         (_TAG_MAKE, _ASCII, 'neural-imaging-tpu'),

@@ -47,6 +47,43 @@ class TestDNGContainer:
         np.testing.assert_allclose(d['cam_mul'][:3], [1.9, 1.0, 1.4], rtol=1e-3)
         np.testing.assert_allclose(d['cam2srgb'], cam2srgb, atol=1e-3)
 
+    @pytest.mark.parametrize('bits,shape', [
+        (12, (30, 48)),   # rows byte-aligned (48*12 % 8 == 0)
+        (14, (30, 48)),   # rows byte-aligned (48*14 % 8 == 0)
+        (12, (22, 41)),   # odd width: every row padded to a byte boundary
+        (14, (22, 41)),
+    ])
+    def test_round_trip_bitpacked(self, tmp_path, bits, shape):
+        """Uncompressed 12/14-bit DNGs pack samples MSB-first, each row starting
+        on a byte boundary — the reader must bit-unpack, not read bytes."""
+        rng = np.random.default_rng(bits + shape[1])
+        mosaic = (rng.random(shape) * ((1 << bits) - 1)).astype(np.uint16)
+        path = str(tmp_path / f'p{bits}.dng')
+        dng.write_dng(path, mosaic, 'RGGB', black=64, bits=bits)
+        d = dng.read_dng(path)
+        assert np.array_equal(d['mosaic'], mosaic)
+        assert d['white'] == (1 << bits) - 1  # default white follows bit depth
+
+    def test_round_trip_bitpacked_ljpeg(self, tmp_path):
+        rng = np.random.default_rng(7)
+        mosaic = (rng.random((40, 56)) * 4095).astype(np.uint16)
+        path = str(tmp_path / 'p12c.dng')
+        dng.write_dng(path, mosaic, 'GBRG', bits=12, compression='ljpeg')
+        assert np.array_equal(dng.read_dng(path)['mosaic'], mosaic)
+
+    def test_rejects_out_of_range_values(self, tmp_path):
+        with pytest.raises(dng.DNGError):
+            dng.write_dng(str(tmp_path / 'bad.dng'),
+                          np.full((4, 4), 4096, np.uint16), bits=12)
+
+    def test_rejects_truncated_strip(self, tmp_path):
+        mosaic = np.zeros((16, 24), np.uint16)
+        path = tmp_path / 't.dng'
+        dng.write_dng(str(path), mosaic, bits=14)
+        path.write_bytes(path.read_bytes()[:-24])  # chop the strip tail
+        with pytest.raises(dng.DNGError):
+            dng.read_dng(str(path))
+
     def test_rejects_non_tiff(self, tmp_path):
         path = tmp_path / 'bogus.dng'
         path.write_bytes(b'NOTATIFF' * 4)
@@ -368,7 +405,7 @@ class TestVendorContainers:
         from neural_imaging_tpu.data import camera_raw
         rng = np.random.default_rng(bits + shape[0])
         mosaic = rng.integers(0, 1 << bits, size=shape, dtype=np.uint16)
-        packed = camera_raw._pack_bitstream(mosaic, bits)
+        packed = camera_raw._pack_bitpacked(mosaic, bits)
         out = camera_raw._unpack_bitpacked(packed, mosaic.size, bits)
         np.testing.assert_array_equal(out.reshape(shape), mosaic)
 
