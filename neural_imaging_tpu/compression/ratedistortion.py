@@ -7,7 +7,9 @@ Capability parity with reference compression/ratedistortion.py: the same DataFra
 columns (image_id, filename, codec, quality, ssim, psnr, msssim_db, bytes, bpp) and
 the same fit families (logistic in log-bpp for SSIM, log-linear for PSNR). JPEG 2000
 goes through OpenJPEG via OpenCV (the reference used glymur + jpylyzer); BPG is
-gated on the bpgenc/bpgdec binaries.
+gated on the bpgenc/bpgdec binaries. Beyond the reference's codec set, WebP
+(VP8 intra) and AVIF (AV1 intra — the modern successor of BPG's HEVC intra)
+legs run through Pillow when its codecs are present.
 """
 import io
 import os
@@ -119,6 +121,71 @@ def get_bpg_df(directory, write_files=False, force_calc=False, files=None,
                 rows.append(_row(i, name, 'bpg', q, img, decoded, nbytes))
         return pd.DataFrame(rows, columns=RD_COLUMNS)
     return _cached(build, directory, 'bpg.csv', force_calc)
+
+
+def _pil_feature(name):
+    try:
+        from PIL import features
+        return bool(features.check(name))
+    except Exception:
+        return False
+
+
+def _pil_roundtrip(img_u8, fmt, **save_kw):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img_u8).save(buf, fmt, **save_kw)
+    nbytes = buf.tell()
+    buf.seek(0)
+    decoded = np.asarray(Image.open(buf).convert('RGB'), np.float32) / 255.0
+    return decoded, nbytes
+
+
+def get_webp_df(directory, write_files=False, force_calc=False, files=None,
+                qualities=range(10, 96, 5)):
+    """WebP (VP8 intra) R/D sweep via Pillow/libwebp — a beyond-reference leg:
+    the reference benchmarks JPEG/JPEG2000/BPG only (ref
+    compression/ratedistortion.py:23-235). Empty DataFrame when Pillow lacks
+    WebP support (mirrors the BPG gating)."""
+    if not _pil_feature('webp'):
+        logger.warning('Pillow has no WebP support — skipping the WebP sweep')
+        return pd.DataFrame(columns=RD_COLUMNS)
+
+    def build():
+        names, images = _load_images(directory, files)
+        rows = []
+        for i, (name, img) in enumerate(zip(names, images)):
+            u8 = (img * 255).round().astype(np.uint8)
+            for q in qualities:
+                decoded, nbytes = _pil_roundtrip(u8, 'WEBP', quality=int(q),
+                                                 method=4)
+                rows.append(_row(i, name, 'webp', q, img, decoded, nbytes))
+        return pd.DataFrame(rows, columns=RD_COLUMNS)
+    return _cached(build, directory, 'webp.csv', force_calc)
+
+
+def get_avif_df(directory, write_files=False, force_calc=False, files=None,
+                qualities=range(10, 96, 5)):
+    """AVIF (AV1 intra) R/D sweep via Pillow — the modern stand-in for the
+    reference's BPG leg (HEVC intra, ref compression/ratedistortion.py:165-235):
+    the bpgenc/bpgdec binaries are absent in this environment, and AV1 intra is
+    the same codec class a generation newer. Empty DataFrame when Pillow lacks
+    AVIF support."""
+    if not _pil_feature('avif'):
+        logger.warning('Pillow has no AVIF support — skipping the AVIF sweep')
+        return pd.DataFrame(columns=RD_COLUMNS)
+
+    def build():
+        names, images = _load_images(directory, files)
+        rows = []
+        for i, (name, img) in enumerate(zip(names, images)):
+            u8 = (img * 255).round().astype(np.uint8)
+            for q in qualities:
+                decoded, nbytes = _pil_roundtrip(u8, 'AVIF', quality=int(q),
+                                                 speed=6)
+                rows.append(_row(i, name, 'avif', q, img, decoded, nbytes))
+        return pd.DataFrame(rows, columns=RD_COLUMNS)
+    return _cached(build, directory, 'avif.csv', force_calc)
 
 
 def get_dcn_df(directory, model_directory, write_files=False, force_calc=False,

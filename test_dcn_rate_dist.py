@@ -29,7 +29,10 @@ def main():
 
     dfs = [rd.get_jpeg_df(args.data, force_calc=args.force),
            rd.get_jpeg2k_df(args.data, force_calc=args.force),
-           rd.get_bpg_df(args.data, force_calc=args.force)]
+           rd.get_bpg_df(args.data, force_calc=args.force),
+           # beyond-reference legs (the reference stops at JPEG/J2K/BPG):
+           rd.get_webp_df(args.data, force_calc=args.force),
+           rd.get_avif_df(args.data, force_calc=args.force)]
     if os.path.isdir(args.dcn_models):
         dfs.append(rd.get_dcn_df(args.data, args.dcn_models, force_calc=args.force))
 

@@ -72,6 +72,23 @@ class TestSweeps:
         else:
             assert len(df) > 0
 
+    @pytest.mark.parametrize('leg,codec,feature', [
+        (rd.get_webp_df, 'webp', 'webp'), (rd.get_avif_df, 'avif', 'avif')])
+    def test_modern_codec_sweeps(self, image_dir, leg, codec, feature):
+        """Beyond-reference WebP/AVIF legs: Pillow-gated like the BPG leg, and
+        R/D-sane (more bytes and better PSNR at higher quality) when present."""
+        df = leg(image_dir, qualities=[30, 70])
+        if not rd._pil_feature(feature):
+            assert df.empty
+            return
+        assert set(df.columns) == set(rd.RD_COLUMNS)
+        assert len(df) == 4
+        assert (df['codec'] == codec).all()
+        one = df[df.image_id == 0].sort_values('quality')
+        assert one.iloc[1]['bytes'] > one.iloc[0]['bytes']
+        assert one.iloc[1]['psnr'] > one.iloc[0]['psnr']
+        assert os.path.isfile(os.path.join(image_dir, f'{codec}.csv'))
+
     @pytest.mark.slow
     def test_dcn_sweep(self, image_dir, tmp_path):
         from neural_imaging_tpu.models.compression import TwitterDCN
