@@ -28,9 +28,13 @@ RD_COLUMNS = ['image_id', 'filename', 'codec', 'quality', 'ssim', 'psnr',
               'msssim_db', 'bytes', 'bpp']
 
 
+def _sweep_files(directory, files=None):
+    return files or sorted(f for f in os.listdir(directory)
+                           if f.lower().endswith(('.png', '.bmp', '.ppm')))
+
+
 def _load_images(directory, files=None):
-    files = files or sorted(f for f in os.listdir(directory)
-                            if f.lower().endswith(('.png', '.bmp', '.ppm')))
+    files = _sweep_files(directory, files)
     images = []
     for f in files:
         img = imageio.imread(os.path.join(directory, f))
@@ -59,11 +63,43 @@ def _row(image_id, filename, codec, quality, original, decoded, nbytes):
     }
 
 
-def _cached(df_fn, directory, cache_name, force=False):
+def _maybe_write(directory, codec, filename, quality, decoded, write):
+    """Optionally persist a decoded image under <directory>/<codec>/ so sweeps
+    can be inspected visually (the reference writes decoded outputs alongside
+    its R/D tables, ref compression/ratedistortion.py)."""
+    if not write:
+        return
+    out_dir = os.path.join(directory, codec)
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(filename))[0]
+    u8 = (np.clip(decoded, 0.0, 1.0) * 255).round().astype(np.uint8)
+    imageio.imwrite(os.path.join(out_dir, f'{stem}_q{quality}.png'), u8)
+
+
+def _cached(df_fn, directory, cache_name, force=False, qualities=None, files=None):
+    """CSV-cache a sweep. The cache is only reused when it covers the *same*
+    sweep — identical quality set and identical file set — otherwise a stale
+    CSV from an earlier call with different arguments would be returned
+    silently."""
     cache = os.path.join(directory, cache_name)
     if os.path.isfile(cache) and not force:
-        logger.info('R/D cache hit: %s', cache)
-        return pd.read_csv(cache)
+        df = pd.read_csv(cache)
+        stale = []
+        if qualities is not None and not df.empty:
+            want = {float(q) for q in qualities}
+            have = {float(q) for q in df['quality'].unique()}
+            if want != have:
+                stale.append(f'qualities {sorted(have)} != requested {sorted(want)}')
+        if not df.empty:
+            want_files = set(_sweep_files(directory, files))
+            have_files = set(df['filename'].unique())
+            if want_files != have_files:
+                stale.append('file set changed')
+        if not stale:
+            logger.info('R/D cache hit: %s', cache)
+            return df
+        logger.info('R/D cache %s is stale (%s) — rebuilding', cache,
+                    '; '.join(stale))
     df = df_fn()
     df.to_csv(cache, index=False)
     return df
@@ -80,8 +116,10 @@ def get_jpeg_df(directory, write_files=False, effective_bytes=True, force_calc=F
                 decoded, nbytes = jpeg_helpers.compress_batch(
                     img, q, effective=effective_bytes)
                 rows.append(_row(i, name, 'jpeg', q, img, decoded, nbytes))
+                _maybe_write(directory, 'jpeg', name, q, decoded, write_files)
         return pd.DataFrame(rows, columns=RD_COLUMNS)
-    return _cached(build, directory, 'jpeg.csv', force_calc)
+    return _cached(build, directory, 'jpeg.csv', force_calc,
+                   qualities=qualities, files=files)
 
 
 def get_jpeg2k_df(directory, write_files=False, effective_bytes=True, force_calc=False,
@@ -101,8 +139,10 @@ def get_jpeg2k_df(directory, write_files=False, effective_bytes=True, force_calc
                 nbytes = (jp2_helpers.jp2_payload_bytes(buf) if effective_bytes
                           else len(buf))
                 rows.append(_row(i, name, 'jpeg2000', q, img, decoded, nbytes))
+                _maybe_write(directory, 'jpeg2000', name, q, decoded, write_files)
         return pd.DataFrame(rows, columns=RD_COLUMNS)
-    return _cached(build, directory, 'jpeg2000.csv', force_calc)
+    return _cached(build, directory, 'jpeg2000.csv', force_calc,
+                   qualities=qualities, files=files)
 
 
 def get_bpg_df(directory, write_files=False, force_calc=False, files=None,
@@ -119,8 +159,10 @@ def get_bpg_df(directory, write_files=False, force_calc=False, files=None,
                 decoded, bpp = bpg_helpers.roundtrip(img, q)
                 nbytes = int(bpp * img.shape[0] * img.shape[1] / 8)
                 rows.append(_row(i, name, 'bpg', q, img, decoded, nbytes))
+                _maybe_write(directory, 'bpg', name, q, decoded, write_files)
         return pd.DataFrame(rows, columns=RD_COLUMNS)
-    return _cached(build, directory, 'bpg.csv', force_calc)
+    return _cached(build, directory, 'bpg.csv', force_calc,
+                   qualities=qualities, files=files)
 
 
 def _pil_feature(name):
@@ -160,8 +202,10 @@ def get_webp_df(directory, write_files=False, force_calc=False, files=None,
                 decoded, nbytes = _pil_roundtrip(u8, 'WEBP', quality=int(q),
                                                  method=4)
                 rows.append(_row(i, name, 'webp', q, img, decoded, nbytes))
+                _maybe_write(directory, 'webp', name, q, decoded, write_files)
         return pd.DataFrame(rows, columns=RD_COLUMNS)
-    return _cached(build, directory, 'webp.csv', force_calc)
+    return _cached(build, directory, 'webp.csv', force_calc,
+                   qualities=qualities, files=files)
 
 
 def get_avif_df(directory, write_files=False, force_calc=False, files=None,
@@ -184,8 +228,10 @@ def get_avif_df(directory, write_files=False, force_calc=False, files=None,
                 decoded, nbytes = _pil_roundtrip(u8, 'AVIF', quality=int(q),
                                                  speed=6)
                 rows.append(_row(i, name, 'avif', q, img, decoded, nbytes))
+                _maybe_write(directory, 'avif', name, q, decoded, write_files)
         return pd.DataFrame(rows, columns=RD_COLUMNS)
-    return _cached(build, directory, 'avif.csv', force_calc)
+    return _cached(build, directory, 'avif.csv', force_calc,
+                   qualities=qualities, files=files)
 
 
 def get_dcn_df(directory, model_directory, write_files=False, force_calc=False,
@@ -212,8 +258,9 @@ def get_dcn_df(directory, model_directory, write_files=False, force_calc=False,
                 crop = img[:h, :w]
                 decoded, nbytes = codec_mod.simulate_compression(crop[None], dcn)
                 rows.append(_row(i, name, code, np.nan, crop, decoded[0], nbytes))
+                _maybe_write(directory, code, name, 'dcn', decoded[0], write_files)
         return pd.DataFrame(rows, columns=RD_COLUMNS)
-    return _cached(build, directory, 'dcn.csv', force_calc)
+    return _cached(build, directory, 'dcn.csv', force_calc, files=files)
 
 
 # ------------------------------------------------------------------------------------

@@ -26,7 +26,7 @@ class Dataset:
                  v_images=30, val_rgb_patch_size=128, val_n_patches=1,
                  val_discard='flat-aggressive'):
         if load not in ('xy', 'x', 'y'):
-            raise ValueError('Invalid X/Y data requested!')
+            raise ValueError(f"load must be one of 'xy', 'x', 'y' — got {load!r}")
 
         if not os.path.isdir(data_directory):
             if '/' in data_directory or '\\' in data_directory:

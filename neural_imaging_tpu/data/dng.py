@@ -29,6 +29,7 @@ _TAG_LENGTH = 257
 _TAG_BITS = 258
 _TAG_COMPRESSION = 259
 _TAG_PHOTOMETRIC = 262
+_TAG_FILL_ORDER = 266
 _TAG_MAKE = 271
 _TAG_MODEL = 272
 _TAG_STRIP_OFFSETS = 273
@@ -235,18 +236,35 @@ def read_dng(filename):
             mosaic = mosaic.reshape(length, width).astype(np.uint16)
         else:
             # 12/14-bit uncompressed CFA packs samples MSB-first (TIFF
-            # FillOrder=1), each row starting on a byte boundary.
+            # FillOrder=1), each row starting on a byte boundary. FillOrder=2
+            # (LSB-first) is legal TIFF but unseen in DNG practice — reject it
+            # rather than decode plausible-looking garbage.
+            fill_order = _tag(raw_ifd, _TAG_FILL_ORDER, (1,))[0]
+            if fill_order != 1:
+                raise DNGError(
+                    f'FillOrder={fill_order} (LSB-first bit packing) is not '
+                    'supported for 12/14-bit CFA strips')
             row_bytes = (width * bits + 7) // 8
             if len(data) < length * row_bytes:
                 raise DNGError('Strip data is too short for the declared mosaic size')
             if (width * bits) % 8 == 0:
                 mosaic = _unpack_bitpacked(data, width * length, bits)
                 mosaic = mosaic.reshape(length, width)
-            else:  # per-row byte padding: unpack row by row
+            else:
+                # Per-row byte padding: zero-pad every row to a whole sample
+                # group so one vectorized unpack covers all rows at once
+                # (a per-row loop costs thousands of small array ops on a
+                # real-size mosaic).
+                import math
+                group_bytes = bits * 8 // math.gcd(bits, 8) // 8
+                padded_bytes = -(-row_bytes // group_bytes) * group_bytes
+                samples_per_row = padded_bytes * 8 // bits
                 rows = np.frombuffer(data, np.uint8, count=length * row_bytes)
-                rows = rows.reshape(length, row_bytes)
-                mosaic = np.stack([_unpack_bitpacked(rows[r].tobytes(), width, bits)
-                                   for r in range(length)])
+                padded = np.zeros((length, padded_bytes), np.uint8)
+                padded[:, :row_bytes] = rows.reshape(length, row_bytes)
+                mosaic = _unpack_bitpacked(padded.tobytes(),
+                                           length * samples_per_row, bits)
+                mosaic = mosaic.reshape(length, samples_per_row)[:, :width]
 
     dim = _tag(raw_ifd, _TAG_CFA_REPEAT_DIM, (2, 2))
     if tuple(dim) != (2, 2):

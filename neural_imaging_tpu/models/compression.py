@@ -165,6 +165,8 @@ class DCN(TPUModel):
                 on_tpu = False
             if not on_tpu:
                 return False
+            from neural_imaging_tpu.utils.runtime import warn_if_uncalibrated_device
+            warn_if_uncalibrated_device('DCN quantization')
             if inference or not self._h.train_codebook:
                 return True
             # trainable codebook in training: fused backward wins only below

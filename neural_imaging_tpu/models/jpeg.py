@@ -54,6 +54,9 @@ def _pallas_jpeg_wins(shape):
         on_tpu = jax.devices()[0].platform == 'tpu'
     except (IndexError, RuntimeError):
         on_tpu = False
+    if on_tpu:
+        from neural_imaging_tpu.utils.runtime import warn_if_uncalibrated_device
+        warn_if_uncalibrated_device('jpeg_forward')
     return on_tpu and min(shape[1], shape[2]) >= 256
 
 

@@ -228,7 +228,7 @@ def confusion_to_text(conf, labels, title='accuracy', fmt='txt'):
     """Render a confusion matrix as plain text or a standalone TeX table."""
     conf = np.asarray(conf)
     if conf.ndim != 2:
-        raise ValueError('2D array expected!')
+        raise ValueError(f'expected a 2-D array, got ndim={conf.ndim}')
     if fmt == 'tex':
         return convert_table(conf, labels, dim_labels='True\\Predicted',
                              title=f'{title} -> {np.mean(np.diag(conf)):.1f}',
@@ -253,9 +253,10 @@ def convert_table(conf, labels, dim_labels='c\\r', title=None, fmt='txt', dec=0,
     """Render a 2-D array as txt / tex / csv / DataFrame."""
     conf = np.asarray(conf)
     if conf.ndim != 2:
-        raise ValueError('2D array expected!')
+        raise ValueError(f'expected a 2-D array, got ndim={conf.ndim}')
     if '\\' not in dim_labels:
-        raise ValueError('Invalid label for array dimensions - need: a \\ b')
+        raise ValueError("dim_labels must contain a backslash separating the "
+                         "row/column axis names, e.g. 'True\\Predicted'")
 
     n, m = conf.shape
     labels_rows = labels_rows or labels

@@ -37,6 +37,39 @@ def configure_jax(platform=None, cache_dir=None):
     return jax
 
 
+# Device generation the 'auto' implementation-selection crossovers were
+# measured on (docs/benchmarks.md). The constants encode where a Pallas kernel
+# beats XLA's form *on that chip*; other generations (v4's larger cores, v6's
+# higher HBM bandwidth) shift the crossover, so 'auto' may pick the slower —
+# never an incorrect — path there.
+CALIBRATED_DEVICE_KIND = 'TPU v5 lite'
+
+_warned_device_kinds = set()
+
+
+def warn_if_uncalibrated_device(feature):
+    """One-time warning when an 'auto' crossover runs on a device generation
+    other than the one its constants were measured on."""
+    import jax
+    try:
+        dev = jax.devices()[0]
+    except (IndexError, RuntimeError):
+        return
+    if dev.platform != 'tpu':
+        return
+    kind = getattr(dev, 'device_kind', '')
+    if kind == CALIBRATED_DEVICE_KIND or (feature, kind) in _warned_device_kinds:
+        return
+    _warned_device_kinds.add((feature, kind))
+    import warnings
+    warnings.warn(
+        f"{feature}: 'auto' implementation crossover was calibrated on "
+        f"{CALIBRATED_DEVICE_KIND!r} but this device is {kind!r}; the selected "
+        f"path is still correct but may not be the fastest — re-measure with "
+        f"bench_pallas.py and pin impl explicitly if performance matters.",
+        stacklevel=3)
+
+
 def maybe_jit(fn):
     """jit on accelerator backends (collapses eager dispatch storms over remote
     device tunnels); skip on CPU where per-op dispatch is cheap and tracing isn't."""

@@ -27,10 +27,14 @@ class TestSweeps:
         one = df[df.image_id == 0].sort_values('quality')
         assert one['bytes'].is_monotonic_increasing
         assert one['psnr'].is_monotonic_increasing
-        # cache file written and reused
+        # cache file written and reused for the SAME sweep...
         assert os.path.isfile(os.path.join(image_dir, 'jpeg.csv'))
-        df2 = rd.get_jpeg_df(image_dir)
+        df2 = rd.get_jpeg_df(image_dir, qualities=[20, 50, 80])
         assert len(df2) == len(df)
+        # ...but a different quality list must rebuild, not return stale rows
+        df3 = rd.get_jpeg_df(image_dir, qualities=[30, 60])
+        assert sorted(df3['quality'].unique()) == [30, 60]
+        assert len(df3) == 4
 
     def test_jpeg2000_sweep(self, image_dir):
         df = rd.get_jpeg2k_df(image_dir, qualities=(28, 36))
