@@ -88,8 +88,18 @@ def save_progress(dcn, data, training, out_dir):
 
 def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
               overwrite=False, rng=None, scalar_log=True, parallel=None,
-              device_data=False):
+              device_data=False, resume=False):
     """Train a DCN; returns the model output directory.
+
+    ``resume``: continue a previous run from its output directory — npz weights
+    plus the orbax full-state checkpoint (Adam moments; written at validation
+    points), performance history and epoch counter from ``progress.json``, and
+    the learning-rate reduction schedule re-applied up to the resume epoch.
+    Without the optimizer moments an npz-only restart transiently regresses a
+    converged model (measured on the NIP trainer — docs/quality_runs.md), so
+    the orbax restore is preferred whenever the checkpoint exists.
+    Match: reference train_dcn.py:55 (--resume) — the reference restarts with
+    a fresh optimizer; this build restores it.
 
     ``scalar_log`` appends per-epoch scalars to ``scalars.jsonl`` in the output
     directory — the TPU build's counterpart of the reference's optional
@@ -110,6 +120,29 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
     rng = rng or np.random.default_rng()
     if parallel is not None:
         parallel.check_batch(training['batch_size'])
+
+    out_dir = os.path.join(directory, dcn.model_code, dcn.scoped_name)
+    start_epoch = 0
+    if os.path.isdir(out_dir) and resume:
+        progress_file = os.path.join(out_dir, 'progress.json')
+        if not os.path.isfile(progress_file):
+            raise FileNotFoundError(f'Cannot resume: {progress_file} not found')
+        print(f'Resuming training from: {progress_file}')
+        dcn.load_model(out_dir)
+        try:
+            step = dcn.load_checkpoint(out_dir)
+            print(f'Restored full optimizer state (orbax step {step})')
+        except Exception:
+            print('No orbax checkpoint — resuming with fresh optimizer state')
+        previous = jsonlog.load_json(progress_file)
+        dcn.performance = previous['codec']['performance']
+        start_epoch = int(previous['training_spec'].get('current_epoch', 0))
+    elif os.path.isdir(out_dir) and not overwrite:
+        print(f'WARNING Directory {out_dir} exists, skipping... (use overwrite=True)')
+        return out_dir
+
+    if parallel is not None:
+        # after a potential resume load so restored state gets replicated too
         parallel.distribute(dcn)
         print(f'Training {parallel.describe()}')
 
@@ -134,12 +167,13 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
     caches = {k: {'training': deque(maxlen=n_batches), 'validation': deque(maxlen=v_batches)}
               for k in ('loss', 'entropy', 'ssim')}
     n_tail = 5
+    # re-apply the lr reduction schedule up to the resume epoch (reductions
+    # fire at epochs sched, 2*sched, ... — see the loop below)
     learning_rate = training['learning_rate']
+    if start_epoch > 0:
+        n_reductions = (start_epoch - 1) // training['learning_rate_reduction_schedule']
+        learning_rate *= training['learning_rate_reduction_factor'] ** n_reductions
 
-    out_dir = os.path.join(directory, dcn.model_code, dcn.scoped_name)
-    if os.path.isdir(out_dir) and not overwrite:
-        print(f'WARNING Directory {out_dir} exists, skipping... (use overwrite=True)')
-        return out_dir
     os.makedirs(out_dir, exist_ok=True)
     print(f'Output directory: {out_dir}', flush=True)
 
@@ -196,9 +230,9 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
                 scan_cache[epoch + i] = {k: outs[k][i] for k in outs}
         return scan_cache.pop(epoch)
 
-    with tqdm(total=training['n_epochs'], ncols=160,
+    with tqdm(total=training['n_epochs'], ncols=160, initial=start_epoch,
               desc=dcn.model_code.split('/')[-1]) as pbar:
-        for epoch in range(training['n_epochs']):
+        for epoch in range(start_epoch, training['n_epochs']):
             training['current_epoch'] = epoch
             if epoch > 0 and epoch % training['learning_rate_reduction_schedule'] == 0:
                 learning_rate *= training['learning_rate_reduction_factor']
@@ -278,6 +312,11 @@ def train_dcn(dcn, training, data, directory='./data/models/dcn/playground/',
 
                 save_progress(dcn, data, training, out_dir)
                 dcn.save_model(out_dir, epoch, quiet=True)
+                try:  # full training state (params + Adam moments) so --resume
+                    # continues without an optimizer-moment shock
+                    dcn.save_checkpoint(out_dir, step=epoch)
+                except Exception as e:
+                    print(f'orbax checkpoint skipped: {e}')
 
                 v_ssim = perf['ssim']['validation']
                 if len(v_ssim) > 5:

@@ -78,6 +78,44 @@ class TestTrainDCN:
         assert len(prog['codec']['performance']['ssim']['validation']) >= 1
         assert os.path.isfile(os.path.join(out, 'twitterdcn.npz'))
 
+    def test_resume_continues_state(self, data_dir, tmp_path_factory):
+        """--resume parity gate (ref train_dcn.py:55), mirroring the NIP
+        `resume-nip` gate: epoch counter, metric history, weights AND the
+        orbax optimizer state (Adam moments) must all continue."""
+        import jax
+        from neural_imaging_tpu.models.compression import TwitterDCN
+        from neural_imaging_tpu.training.compression import train_dcn
+        rgb = Dataset(data_dir, load='y', n_images=4, v_images=2,
+                      val_rgb_patch_size=32, val_n_patches=2, randomize=3)
+        out_root = str(tmp_path_factory.mktemp('dcn_resume'))
+        spec = {'n_epochs': 3, 'batch_size': 2, 'patch_size': 32,
+                'validation_schedule': 2}
+        dcn = TwitterDCN(patch_size=32, n_features=8)
+        out = train_dcn(dcn, dict(spec), rgb, directory=out_root)
+        prog = json.load(open(os.path.join(out, 'progress.json')))
+        assert prog['training_spec']['current_epoch'] == 2
+        n_train_points = len(prog['codec']['performance']['loss']['training'])
+        assert os.path.isdir(os.path.join(out, 'orbax'))
+
+        # fresh model object, as a new process would construct it
+        dcn2 = TwitterDCN(patch_size=32, n_features=8)
+        out2 = train_dcn(dcn2, dict(spec, n_epochs=5), rgb, directory=out_root,
+                         resume=True)
+        assert out2 == out
+        # Adam moments restored and advanced (not a fresh optimizer)
+        counts = [int(x) for x in jax.tree_util.tree_leaves(dcn2.opt_state)
+                  if getattr(x, 'ndim', None) == 0 and x.dtype.kind == 'i']
+        assert counts and max(counts) > 0
+        prog2 = json.load(open(os.path.join(out, 'progress.json')))
+        assert prog2['training_spec']['current_epoch'] == 4
+        assert len(prog2['codec']['performance']['loss']['training']) > n_train_points
+
+        # without --resume the existing directory is skipped, not retrained
+        dcn3 = TwitterDCN(patch_size=32, n_features=8)
+        out3 = train_dcn(dcn3, dict(spec), rgb, directory=out_root)
+        prog3 = json.load(open(os.path.join(out, 'progress.json')))
+        assert out3 == out and prog3 == prog2
+
 
 class TestValidationAndLogs:
     @pytest.fixture(scope='class')
