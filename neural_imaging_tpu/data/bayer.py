@@ -16,6 +16,9 @@ CFA_OFFSETS = {
     'GBRG': {'R': (1, 0), 'G1': (0, 0), 'G2': (1, 1), 'B': (0, 1)},
     'RGGB': {'R': (0, 0), 'G1': (0, 1), 'G2': (1, 0), 'B': (1, 1)},
     'BGGR': {'R': (1, 1), 'G1': (0, 1), 'G2': (1, 0), 'B': (0, 0)},
+    # beyond reference (helpers/raw.py:48-54 handles only the three above):
+    # GRBG is the fourth standard 2x2 layout, common on Canon/Sony sensors
+    'GRBG': {'R': (0, 1), 'G1': (0, 0), 'G2': (1, 1), 'B': (1, 0)},
 }
 STACK_PLANES = ('R', 'G1', 'G2', 'B')
 PLANE_RGB = {'R': 0, 'G1': 1, 'G2': 1, 'B': 2}
