@@ -43,7 +43,9 @@ ITERS = 30
 REPEATS = 3  # report the best timing window (tunnel latency to the dev TPU is noisy)
 
 
-def main():
+def build_flow_and_batches():
+    """The exact benched configuration — shared with bench_trace.py so the
+    profiled step is byte-identical to the headline one."""
     from neural_imaging_tpu.utils.runtime import configure_jax
     configure_jax()  # persistent compilation cache (tunneled compiles are slow)
 
@@ -74,6 +76,13 @@ def main():
     by = rng.random((BATCH, 2 * RAW_PATCH, 2 * RAW_PATCH, 3)).astype(np.float32)
     bx = jax.device_put(bx)
     by = jax.device_put(by)
+    return flow, bx, by
+
+
+def main():
+    import jax
+
+    flow, bx, by = build_flow_and_batches()
 
     for _ in range(WARMUP):
         loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)

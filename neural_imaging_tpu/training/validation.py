@@ -170,6 +170,17 @@ def save_training_progress(training_summary, flow, root_dir, quiet=False):
     training = OrderedDict()
     training['summary'] = training_summary
     training['distribution'] = flow._distribution
+    # channel precision knobs: without them a re-validation (test_fan.py)
+    # silently rebuilds an f32 channel for a bf16-trained workflow — a
+    # train/deploy mismatch measured at -0.11 accuracy (docs/quality_runs.md
+    # round-5 cross-validation)
+    import jax.numpy as jnp
+    training['channel_precision'] = {
+        'channel_dtype': ('bfloat16' if flow._channel_dtype == jnp.bfloat16
+                          else 'float32'),
+        'channel_jpeg_dtype': ('bfloat16' if flow._channel_jpeg_bf16
+                               else 'float32'),
+    }
     training['manipulations'] = flow._forensics_classes
 
     training['nip'] = OrderedDict(

@@ -51,9 +51,18 @@ def restore_flow(training_json, args):
     nip_model = log['nip']['model']
     fan_args = {k: v for k, v in log['forensics']['args'].items() if k != 'n_classes'}
 
+    # reconstruct the trained channel precision (recorded since round 5; older
+    # logs default to f32 — matching their training), unless overridden
+    precision = log.get('channel_precision', {})
+    channel_dtype = args.channel_dtype or precision.get('channel_dtype', 'float32')
+    channel_jpeg_dtype = (args.channel_jpeg_dtype
+                          or precision.get('channel_jpeg_dtype', 'float32'))
+
     flow = ManipulationClassification(nip_model, manipulations=manipulations,
                                       distribution=distribution, fan_args=fan_args,
-                                      raw_patch_size=args.patch)
+                                      raw_patch_size=args.patch,
+                                      channel_dtype=channel_dtype,
+                                      channel_jpeg_dtype=channel_jpeg_dtype)
     models_dir = os.path.join(run_dir, 'models')
     flow.fan.load_model(os.path.join(models_dir, 'fan'))
     nip_ckpt = os.path.join(models_dir, flow.nip.scoped_name)
@@ -88,6 +97,12 @@ def main():
                         help='override downsampling')
     parser.add_argument('--manip', default=None,
                         help='override manipulation list, e.g. sharpen,jpeg,gaussian')
+    parser.add_argument('--channel-dtype', default=None,
+                        choices=['float32', 'bfloat16'],
+                        help='override the recorded distribution-channel dtype')
+    parser.add_argument('--channel-jpeg-dtype', default=None,
+                        choices=['float32', 'bfloat16'],
+                        help='override the recorded channel-dJPEG dtype')
     parser.add_argument('--randomize', action='store_true',
                         help='validate with randomized manipulation strengths (the '
                              'distribution `--augment` training optimizes) instead '
