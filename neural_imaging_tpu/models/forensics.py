@@ -127,10 +127,15 @@ class FAN(TPUModel):
             'use_gap': (False, bool, None),
             'n_dense': (2, int, (0, 16)),
             'activation': ('leaky_relu', str, set(ops.ACTIVATIONS.keys())),
+            # recorded so checkpoint sidecars / training.json reconstruct the
+            # trained compute dtype — a train/deploy dtype mismatch measured
+            # -0.11..-0.12 accuracy (docs/quality_runs.md round-5)
+            'dtype': ('float32', str, {'float32', 'bfloat16'}),
         })
         self._h.update(n_classes=n_classes, n_filters=n_filters, n_fscale=n_fscale,
                        n_convolutions=n_convolutions, kernel=kernel, dropout=dropout,
-                       use_gap=use_gap, n_dense=n_dense, activation=activation)
+                       use_gap=use_gap, n_dense=n_dense, activation=activation,
+                       dtype=dtype)
         self.patch_size = patch_size
         self._module = FANCore(
             n_classes=self._h.n_classes, n_filters=self._h.n_filters,
