@@ -9,11 +9,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Configuration: the throughput setting validated by the quality gates — bfloat16
 distribution channel + FAN (E2E gate `train-manipulation-bf16`, which also
-covers the MXU ConstrainedConv path), INet convs at DEFAULT (bf16) MXU
-precision, and the channel dJPEG in bf16 at DEFAULT precision. Each knob has a
-paired joint-run quality arm in docs/quality_runs.md (round-4 studies: pooled
-JPEG-50 hard regime, λ=0.005 — all within validation noise of the f32/HIGH
-arms); the all-f32 parity-default number is in docs/benchmarks.md alongside.
+covers the MXU ConstrainedConv path), INet convs on the 'exact' f32 VPU path
+(round 5: faster than every MXU precision at these channel counts AND
+parity-grade numerics), and the channel dJPEG in bf16 at DEFAULT precision.
+Each bf16 knob has a paired joint-run quality arm in docs/quality_runs.md
+(re-confirmed at 1000 validation decisions in round 5: 0.820/0.820/0.820/0.835
+— all neutral when validated as trained).
 
 The reference publishes no throughput numbers (BASELINE.md); `vs_baseline` is
 computed against REFERENCE_STEPS_PER_SEC — an *estimate* of a TF2-GPU baseline
@@ -63,7 +64,11 @@ def build_flow_and_batches():
         trainable={'nip'},
         raw_patch_size=RAW_PATCH,
         channel_dtype='bfloat16',
-        nip_args={'conv_precision': 'default'},
+        # 'exact' (f32 VPU shift-add): round-5 trace showed the bf16 MXU path
+        # pays ~10x tile padding on these C<=12 tensors; 'exact' measures
+        # 46.0 vs 39.1 steps/s AND restores parity-grade f32 numerics
+        # (docs/benchmarks.md round-5 "Channels-first dataflow")
+        nip_args={'conv_precision': 'exact'},
         # bf16 channel codec at DEFAULT precision: quality-neutral in the
         # pooled JPEG-50 joint arm (acc 0.635/0.610 vs 0.625/0.620 f32,
         # NIP 34.86 vs 34.87 dB — docs/quality_runs.md round-4 studies)

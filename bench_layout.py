@@ -62,6 +62,31 @@ def conv_chw(x, kernel, padding='SAME'):
     return out.astype(in_dtype)
 
 
+def conv_chw_fma(x, kernel, padding='SAME'):
+    """Channels-first shift-add conv with the Cin contraction as explicit
+    scalar FMAs (no einsum/dot — nothing for XLA to re-layout onto the MXU)."""
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    kernel = jnp.asarray(kernel, dtype=jnp.float32)
+    kh, kw, cin, cout = kernel.shape
+    if padding == 'SAME':
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        x = jnp.pad(x, ((0, 0), (0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw)))
+    h = x.shape[2] - kh + 1
+    w = x.shape[3] - kw + 1
+    outs = []
+    for co in range(cout):
+        acc = jnp.zeros((x.shape[0], h, w), dtype=jnp.float32)
+        for dy in range(kh):
+            for dx in range(kw):
+                patch = jax.lax.slice(x, (0, 0, dy, dx),
+                                      (x.shape[0], cin, dy + h, dx + w))
+                for ci in range(cin):
+                    acc = acc + patch[:, ci] * kernel[dy, dx, ci, co]
+        outs.append(acc)
+    return jnp.stack(outs, axis=1).astype(in_dtype)
+
+
 def time_fn(fn, *args, iters=30, repeats=3):
     jitted = jax.jit(fn)
     out = jitted(*args)
@@ -109,6 +134,7 @@ def main():
             ('mxu_nhwc', time_fn(wrap(lambda x: mxu(x, k)), x_hwc)),
             ('vpu_nhwc', time_fn(wrap(lambda x: ops.small_conv2d(x, k)), x_hwc)),
             ('vpu_nchw', time_fn(wrap(lambda x: conv_chw(x, k)), x_chw)),
+            ('vpu_nchw_fma', time_fn(wrap(lambda x: conv_chw_fma(x, k)), x_chw)),
         ])
 
     # --- case 2: gamma stage 1x1 12->12 + tanh --------------------------------
@@ -130,6 +156,7 @@ def main():
             ('mxu_nhwc', time_fn(wrap(gamma_mxu), g_hwc)),
             ('vpu_nhwc', time_fn(wrap(gamma_hwc), g_hwc)),
             ('vpu_nchw', time_fn(wrap(gamma_chw), g_chw)),
+            ('vpu_nchw_fma', time_fn(wrap(lambda x: jnp.tanh(conv_chw_fma(x, k1))), g_chw)),
         ])
 
     # --- case 3: depthwise 5x5 blur on the expanded batch ---------------------
@@ -145,6 +172,10 @@ def main():
             ('mxu_nhwc', time_fn(wrap(lambda x: mxu(x, kd_full)), m_hwc)),
             ('vpu_nhwc', time_fn(wrap(lambda x: ops.small_conv2d(x, kd_full)), m_hwc)),
             ('vpu_nchw', time_fn(wrap(lambda x: conv_chw(x, kd_full)), m_chw)),
+            ('vpu_nchw_dw', time_fn(wrap(lambda x: sum(
+                jax.lax.slice(jnp.pad(x, ((0,0),(0,0),(2,2),(2,2))), (0,0,dy,dx),
+                              (x.shape[0], x.shape[1], dy+x.shape[2], dx+x.shape[3]))
+                * kd[dy, dx] for dy in range(5) for dx in range(5))), m_chw)),
         ])
 
     # --- transpose overhead: what a one-shot relayout costs -------------------

@@ -58,11 +58,7 @@ def gaussian(x, kernel=5, std=0.83, skip_clip=False):
     """Depthwise Gaussian blur (reflect padded)."""
     kernel = int(kernel)
     gk = gkern(kernel, std)
-    gfilter = np.zeros((kernel, kernel, 3, 3), dtype=np.float32)
-    for r in range(3):
-        gfilter[:, :, r, r] = gk
-    xp = ops.pad2d(x, kernel // 2, 'reflect')
-    y = ops.small_conv2d(xp, gfilter, padding='VALID')
+    y = ops.depthwise_conv2d(x, gk, pad_mode='reflect')
     return y if skip_clip else jnp.clip(y, 0, 1)
 
 
@@ -83,12 +79,13 @@ def _sharpen_filter(strength, hsv):
 def sharpen(x, strength=1.0, hsv=True):
     """Unsharp-mask style sharpening, optionally applied in HSV space."""
     gfilter = _sharpen_filter(float(strength), hsv)
-    y = ops.pad2d(x, 1, 'symmetric')
+    kpc = gfilter[:, :, range(3), range(3)]          # diagonal: (k, k, 3)
     if hsv:
-        y = color.rgb_to_hsv(y)
-    y = ops.small_conv2d(y, gfilter, padding='VALID')
-    if hsv:
+        y = color.rgb_to_hsv(x)
+        y = ops.depthwise_conv2d(y, kpc, pad_mode='symmetric')
         y = color.hsv_to_rgb(y)
+    else:
+        y = ops.depthwise_conv2d(x, kpc, pad_mode='symmetric')
     return jnp.clip(y, 0, 1)
 
 
@@ -176,16 +173,17 @@ def sharpen_traced(x, strength, hsv=True):
     gk = strength * base / jnp.abs(base.sum())
     gk = gk.at[1, 1].set(strength + 1.0)
     eye3 = jnp.eye(3, dtype=x.dtype)
-    gfilter = gk[:, :, None, None] * eye3[None, None, :, :]
+    kpc = jnp.stack([gk, gk, gk], axis=-1)           # (3, 3, C) per-channel
     if hsv:
+        # S-channel kernel: the reference's quirk places the passthrough tap at
+        # kernel position (2,2), not the center (ref helpers/tf_helpers.py)
         ident = jnp.zeros((3, 3), dtype=x.dtype).at[2, 2].set(1.0)
-        gfilter = gfilter.at[:, :, 1, 1].set(ident)
-    y = ops.pad2d(x, 1, 'symmetric')
-    if hsv:
-        y = color.rgb_to_hsv(y)
-    y = ops.small_conv2d(y, gfilter, padding='VALID')
-    if hsv:
+        kpc = kpc.at[:, :, 1].set(ident)
+        y = color.rgb_to_hsv(x)
+        y = ops.depthwise_conv2d(y, kpc, pad_mode='symmetric')
         y = color.hsv_to_rgb(y)
+    else:
+        y = ops.depthwise_conv2d(x, kpc, pad_mode='symmetric')
     return jnp.clip(y, 0, 1)
 
 
@@ -195,9 +193,7 @@ def gaussian_traced(x, std, kernel=5):
     g1 = jnp.exp(-0.5 * (coords / std) ** 2)
     g2 = jnp.outer(g1, g1)
     g2 = g2 / g2.sum()
-    eye3 = jnp.eye(3, dtype=x.dtype)
-    gfilter = g2[:, :, None, None] * eye3[None, None, :, :]
-    y = ops.small_conv2d(ops.pad2d(x, kernel // 2, 'reflect'), gfilter, padding='VALID')
+    y = ops.depthwise_conv2d(x, g2, pad_mode='reflect')
     return jnp.clip(y, 0, 1)
 
 

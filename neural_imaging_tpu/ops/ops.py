@@ -99,6 +99,42 @@ def space_to_depth(x, block=2):
     return x.reshape(n, h // block, w // block, block * block * c)
 
 
+def depthwise_conv2d(x, k2d, pad_mode='reflect'):
+    """Depthwise spatial filter on an NHWC batch, computed in a DENSE flat form.
+
+    ``k2d``: (kh, kw) shared across channels, or (kh, kw, C) per-channel.
+    Values may be traced (randomized-strength kernels recompile nothing).
+
+    Why not small_conv2d with a diagonal (kh,kw,C,C) kernel: (…, C≤4)-minor
+    NHWC tensors carry TPU tile layouts whose 128-lane minor dim is >90%
+    padding, so every slice/FMA pays ~10× its logical bytes, and the dense
+    C_in×C_out accumulation spends VPU flops on the C²−C zero cross terms
+    (round-5 device trace, docs/benchmarks.md). Collapsing the contiguous
+    (W, C) pair into one minor axis of W·C ≥ 384 makes every shifted FMA run
+    on fully dense tiles; measured 2-4× on the blur/sharpen shapes
+    (bench_layout.py) and part of the 39 → 54 steps/s round-5 flagship gain.
+    """
+    k2d = jnp.asarray(k2d, dtype=jnp.float32)
+    per_channel = k2d.ndim == 3
+    kh, kw = k2d.shape[:2]
+    if kh != kw:
+        raise NotImplementedError('depthwise_conv2d expects a square kernel')
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    n, h, w, c = x.shape
+    in_dtype = x.dtype
+    xp = pad2d(x.astype(jnp.float32), ph, pad_mode)
+    flat = xp.reshape(n, h + 2 * ph, (w + 2 * pw) * c)
+    acc = jnp.zeros((n, h, w * c), dtype=jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            tap = jax.lax.slice(flat, (0, dy, dx * c),
+                                (n, dy + h, dx * c + w * c))
+            weight = (jnp.tile(k2d[dy, dx], w) if per_channel
+                      else k2d[dy, dx])
+            acc = acc + tap * weight
+    return acc.reshape(n, h, w, c).astype(in_dtype)
+
+
 def pad2d(x, pad, mode='reflect'):
     """Spatial padding of an NHWC tensor. mode: 'reflect' | 'symmetric' | 'constant'."""
     if pad == 0:
