@@ -180,6 +180,8 @@ def save_training_progress(training_summary, flow, root_dir, quiet=False):
                           else 'float32'),
         'channel_jpeg_dtype': ('bfloat16' if flow._channel_jpeg_bf16
                                else 'float32'),
+        'manip_jpeg_dtype': ('bfloat16' if flow._manip_jpeg_bf16
+                             else 'float32'),
     }
     training['manipulations'] = flow._forensics_classes
 

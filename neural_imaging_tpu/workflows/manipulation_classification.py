@@ -36,7 +36,7 @@ class ManipulationClassification:
     def __init__(self, nip_model, manipulations=None, distribution=None, fan_args=None,
                  trainable=None, raw_patch_size=128, loss_metric='L2', rng_seed=0,
                  remat=False, channel_dtype='float32', nip_args=None,
-                 channel_jpeg_dtype=None):
+                 channel_jpeg_dtype=None, manip_jpeg_dtype=None):
         """
         :param nip_model: '<nip class>[:dirname]' — NIP class + optional pretrained dir
         :param manipulations: list of '<name>[:strength]' specs
@@ -69,6 +69,18 @@ class ManipulationClassification:
         if channel_jpeg_dtype not in (None, 'float32', 'bfloat16'):
             raise ValueError(f'Unsupported channel JPEG dtype {channel_jpeg_dtype}')
         self._channel_jpeg_bf16 = channel_jpeg_dtype == 'bfloat16'
+        # Manipulation-codec compute dtype: same trade as channel_jpeg_dtype but
+        # for the 'jpeg' MANIPULATION branch, which runs at full pre-pooling
+        # resolution (4x the channel codec's pixels). With a bf16 channel the
+        # branch input is already bf16, so the default f32/HIGHEST transform is
+        # the single largest segment of the benched step (round-5 device trace:
+        # 2.3 ms of 18.9). A separate knob — not folded into channel_jpeg_dtype —
+        # because the channel dtype is part of a trained model's contract
+        # (docs/quality_runs.md: a train/deploy dtype mismatch costs ~0.11 acc)
+        # and shipped bf16 artifacts predate this knob.
+        if manip_jpeg_dtype not in (None, 'float32', 'bfloat16'):
+            raise ValueError(f'Unsupported manipulation JPEG dtype {manip_jpeg_dtype}')
+        self._manip_jpeg_bf16 = manip_jpeg_dtype == 'bfloat16'
 
         self._trainable = set() if trainable is None else set(trainable)
         self._trainable.add('fan')
@@ -238,6 +250,24 @@ class ManipulationClassification:
     def _fan_apply(self, fan_params, batch_C):
         return self.fan._apply(fan_params, batch_C)
 
+    def _manip_jpeg(self, batch, quality):
+        """'jpeg' manipulation on the bf16 fast path (manip_jpeg_dtype='bfloat16'):
+        bf16 input, DEFAULT matmul precision — the branch only simulates a prior
+        compression on an already-bf16 tensor, so the f32/HIGHEST default is
+        pure overhead there (same reasoning, measurement and quality-arm gating
+        as channel_jpeg_dtype; docs/quality_runs.md)."""
+        x = batch.astype(jnp.bfloat16)
+        if isinstance(quality, (int, float)):
+            q_luma = jnp.asarray(jpeg_qtable(quality, 0))
+            q_chroma = jnp.asarray(jpeg_qtable(quality, 1))
+        else:
+            q = quality.astype(jnp.float32)
+            q_luma = jpeg_models.jpeg_qtable_traced(q, 0)
+            q_chroma = jpeg_models.jpeg_qtable_traced(q, 1)
+        y, _ = jpeg_models.jpeg_forward(x, q_luma, q_chroma,
+                                        precision=jax.lax.Precision.DEFAULT)
+        return y
+
     def _manipulate(self, batch_Y, key, strength_scalars=None, strength_indices=None,
                     pool=False):
         """(K+1)-way batch expansion: [native] + each manipulation. Randomized
@@ -256,14 +286,19 @@ class ManipulationClassification:
             key, sub = jax.random.split(key)
             if strength_scalars is None:
                 s = self._strengths[name]
-                if pool and name in manips.POOLED_MANIPULATIONS:
+                if name == 'jpeg' and self._manip_jpeg_bf16:
+                    y_list.append(p2(self._manip_jpeg(batch_Y, s)).astype(dt))
+                elif pool and name in manips.POOLED_MANIPULATIONS:
                     y_list.append(manips.POOLED_MANIPULATIONS[name](
                         batch_Y, s, sub).astype(dt))
                 else:
                     y_list.append(p2(manips.MANIPULATIONS[name](batch_Y, s, sub)
                                      ).astype(dt))
             else:
-                if name in manips.TRACED_MANIPULATIONS:
+                if name == 'jpeg' and self._manip_jpeg_bf16:
+                    y_list.append(p2(self._manip_jpeg(
+                        batch_Y, strength_scalars[i])).astype(dt))
+                elif name in manips.TRACED_MANIPULATIONS:
                     y_list.append(p2(manips.TRACED_MANIPULATIONS[name](
                         batch_Y, strength_scalars[i], sub)).astype(dt))
                 elif name == 'resample':

@@ -57,12 +57,15 @@ def restore_flow(training_json, args):
     channel_dtype = args.channel_dtype or precision.get('channel_dtype', 'float32')
     channel_jpeg_dtype = (args.channel_jpeg_dtype
                           or precision.get('channel_jpeg_dtype', 'float32'))
+    manip_jpeg_dtype = (args.manip_jpeg_dtype
+                        or precision.get('manip_jpeg_dtype', 'float32'))
 
     flow = ManipulationClassification(nip_model, manipulations=manipulations,
                                       distribution=distribution, fan_args=fan_args,
                                       raw_patch_size=args.patch,
                                       channel_dtype=channel_dtype,
-                                      channel_jpeg_dtype=channel_jpeg_dtype)
+                                      channel_jpeg_dtype=channel_jpeg_dtype,
+                                      manip_jpeg_dtype=manip_jpeg_dtype)
     models_dir = os.path.join(run_dir, 'models')
     flow.fan.load_model(os.path.join(models_dir, 'fan'))
     nip_ckpt = os.path.join(models_dir, flow.nip.scoped_name)
@@ -103,6 +106,9 @@ def main():
     parser.add_argument('--channel-jpeg-dtype', default=None,
                         choices=['float32', 'bfloat16'],
                         help='override the recorded channel-dJPEG dtype')
+    parser.add_argument('--manip-jpeg-dtype', default=None,
+                        choices=['float32', 'bfloat16'],
+                        help='override the recorded manipulation-dJPEG dtype')
     parser.add_argument('--randomize', action='store_true',
                         help='validate with randomized manipulation strengths (the '
                              'distribution `--augment` training optimizes) instead '

@@ -281,3 +281,62 @@ class TestChannelDtype:
         with pytest.raises(ValueError):
             ManipulationClassification('INet', raw_patch_size=16,
                                        channel_dtype='float16')
+
+
+@pytest.mark.slow
+class TestManipJpegDtype:
+    """manip_jpeg_dtype='bfloat16': the 'jpeg' MANIPULATION branch runs its
+    dJPEG in bf16 at DEFAULT matmul precision (the round-5 device trace showed
+    the default f32/HIGHEST transform there as the largest single segment of
+    the benched step). Unlike channel_dtype, this genuinely changes the branch
+    compute dtype, so outputs track f32 at bf16 tolerance, not exactly."""
+
+    def _make(self, manip_dt, randomizable=False):
+        return ManipulationClassification(
+            'INet', manipulations=['sharpen:1', 'jpeg:80'],
+            distribution={'downsampling': 'pool:2', 'compression': 'none'},
+            fan_args={'n_convolutions': 2, 'n_filters': 8, 'n_dense': 0},
+            trainable={'nip'}, raw_patch_size=16, rng_seed=7,
+            manip_jpeg_dtype=manip_dt)
+
+    def test_bf16_branch_tracks_float32(self):
+        rng = np.random.default_rng(4)
+        by = rng.random((2, 32, 32, 3)).astype(np.float32)
+        outs = {}
+        for dt in (None, 'bfloat16'):
+            f = self._make(dt)
+            outs[dt] = np.asarray(f.run_manipulations(by)).astype(np.float32)
+        # native + sharpen branches are untouched by the knob
+        np.testing.assert_allclose(outs[None][:4], outs['bfloat16'][:4],
+                                   atol=1e-6)
+        # jpeg branch agrees within bf16 round-trip tolerance. Random noise is
+        # the adversarial input here: DCT coefficients land near quantization
+        # boundaries and individual ones flip sides under bf16 rounding, so a
+        # few pixels differ by a sizeable fraction of a quantization step —
+        # the bulk of the image must still agree tightly.
+        jp32, jp16 = outs[None][4:], outs['bfloat16'][4:]
+        assert np.abs(jp32 - jp16).mean() < 0.02
+        assert np.quantile(np.abs(jp32 - jp16), 0.99) < 0.08
+        assert np.abs(jp32 - jp16).max() < 0.3
+
+    def test_training_and_randomized_paths_finite(self):
+        rng = np.random.default_rng(5)
+        bx = rng.random((2, 16, 16, 4)).astype(np.float32)
+        by = rng.random((2, 32, 32, 3)).astype(np.float32)
+        f = self._make('bfloat16')
+        f.nan_check = False
+        loss, _ = f.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-3)
+        assert np.isfinite(float(loss))
+        loss, _ = f.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-3,
+                                  augment=True)  # traced-strength bf16 branch
+        assert np.isfinite(float(loss))
+        f.assert_finite()
+        a = np.asarray(f.run_manipulations(by, randomize=True))
+        b = np.asarray(f.run_manipulations(by, randomize=True))
+        assert a.shape == (6, 32, 32, 3)
+        assert not np.allclose(a[4:], b[4:])  # jpeg strength still randomizes
+
+    def test_invalid_value_rejected(self):
+        with pytest.raises(ValueError):
+            ManipulationClassification('INet', raw_patch_size=16,
+                                       manip_jpeg_dtype='float16')

@@ -73,6 +73,11 @@ def main():
                         help='channel dJPEG compute dtype; bfloat16 runs the '
                              'channel codec at DEFAULT matmul precision '
                              '(default: f32 at HIGHEST — oracle parity)')
+    parser.add_argument('--manip-jpeg-dtype', default=None,
+                        choices=['float32', 'bfloat16'],
+                        help="same trade for the 'jpeg' MANIPULATION branch, "
+                             'which runs at full pre-pooling resolution '
+                             '(default: f32 at HIGHEST — oracle parity)')
     parser.add_argument('--nip-params', default=None,
                         help="JSON with NIP constructor kwargs, e.g. "
                              "\"{'conv_precision': 'high'}\"")
@@ -139,7 +144,8 @@ def main():
                 args.nip, manipulations=manipulations, distribution=distribution,
                 fan_args=fan_args, trainable=trainable, raw_patch_size=args.patch,
                 loss_metric=args.loss_metric, channel_dtype=args.channel_dtype,
-                nip_args=nip_params, channel_jpeg_dtype=args.channel_jpeg_dtype)
+                nip_args=nip_params, channel_jpeg_dtype=args.channel_jpeg_dtype,
+                manip_jpeg_dtype=args.manip_jpeg_dtype)
         else:
             # sweep points share the flow's compiled programs (λ and lr are
             # traced arguments); only the trainable state resets
