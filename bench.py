@@ -11,10 +11,11 @@ Configuration: the throughput setting validated by the quality gates — bfloat1
 distribution channel + FAN (E2E gate `train-manipulation-bf16`, which also
 covers the MXU ConstrainedConv path), INet convs on the 'exact' f32 VPU path
 (round 5: faster than every MXU precision at these channel counts AND
-parity-grade numerics), and the channel dJPEG in bf16 at DEFAULT precision.
+parity-grade numerics), and both dJPEGs — the distribution channel AND the
+'jpeg' manipulation branch — in bf16 at DEFAULT precision.
 Each bf16 knob has a paired joint-run quality arm in docs/quality_runs.md
-(re-confirmed at 1000 validation decisions in round 5: 0.820/0.820/0.820/0.835
-— all neutral when validated as trained).
+(re-confirmed at 1000 validation decisions in round 5:
+0.820/0.820/0.820/0.835/0.850 — all neutral when validated as trained).
 
 The reference publishes no throughput numbers (BASELINE.md); `vs_baseline` is
 computed against REFERENCE_STEPS_PER_SEC — an *estimate* of a TF2-GPU baseline
@@ -72,7 +73,12 @@ def build_flow_and_batches():
         # bf16 channel codec at DEFAULT precision: quality-neutral in the
         # pooled JPEG-50 joint arm (acc 0.635/0.610 vs 0.625/0.620 f32,
         # NIP 34.86 vs 34.87 dB — docs/quality_runs.md round-4 studies)
-        channel_jpeg_dtype='bfloat16')
+        channel_jpeg_dtype='bfloat16',
+        # bf16 'jpeg' MANIPULATION branch: the round-5 device trace showed the
+        # full-resolution f32/HIGHEST manipulation dJPEG as the largest single
+        # segment of the step once the layouts were fixed; paired 1001-epoch
+        # quality arm in docs/quality_runs.md (round-5)
+        manip_jpeg_dtype='bfloat16')
     # defer the NaN guard to the end so host dispatch pipelines with device compute
     flow.nan_check = False
 
