@@ -31,8 +31,9 @@ BASE = dict(
     trainable={'nip'},
     raw_patch_size=RAW_PATCH,
     channel_dtype='bfloat16',
-    nip_args={'conv_precision': 'default'},
-    channel_jpeg_dtype='bfloat16')
+    nip_args={'conv_precision': 'exact'},
+    channel_jpeg_dtype='bfloat16',
+    manip_jpeg_dtype='bfloat16')
 
 
 def run(overrides):

@@ -71,7 +71,7 @@ def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5, impl='aut
     :param q_luma/q_chroma: (8, 8) quantization tables (traced — any quality)
     :param rounding: 'soft' | 'sin' | 'harmonic'
     :param impl: 'auto' (measured fastest path for the shape/backend) |
-                 'xla' | 'pallas'
+                 'xla' | 'planes' | 'pallas'
     :param precision: matmul precision for the DCT/color transforms; None pins
         HIGHEST (the ≤0.1 dB oracle-parity default). A bfloat16 distribution
         channel may pass ``jax.lax.Precision.DEFAULT`` — there the codec only
@@ -81,12 +81,23 @@ def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5, impl='aut
              (N, 3, H/8, W/8, 8, 8)
     """
     if impl == 'auto':
-        impl = 'pallas' if (rounding == 'soft' and precision is None
-                            and _pallas_jpeg_wins(x.shape)) else 'xla'
+        if rounding == 'soft' and precision is None and _pallas_jpeg_wins(x.shape):
+            impl = 'pallas'
+        elif precision is not None:
+            # Throughput paths (DEFAULT/HIGH, e.g. a bfloat16 channel): the
+            # blockified form's (…, 8, 8)-minor tensors tile-pad 8 → 128 lanes
+            # (round-5 device trace: 2-3% roofline efficiency); the plane form
+            # runs dense W-minor matmuls instead.
+            impl = 'planes'
+        else:
+            impl = 'xla'
     if impl == 'pallas':
         from neural_imaging_tpu.ops.pallas.jpeg8x8 import jpeg_forward_pallas
         y, X = jpeg_forward_pallas(x.astype(jnp.float32), q_luma, q_chroma)
         return y.astype(x.dtype), X
+    if impl == 'planes':
+        return _jpeg_forward_planes(x, q_luma, q_chroma, rounding, taylor_terms,
+                                    precision)
 
     ycc = color.rgb_to_ycbcr(255.0 * x, precision=precision) - 127.0
 
@@ -102,6 +113,56 @@ def jpeg_forward(x, q_luma, q_chroma, rounding='soft', taylor_terms=5, impl='aut
     y = dct.deblockify(dct.idct2d(Xq, precision=precision))
     y = color.ycbcr_to_rgb(y + 127.0, precision=precision) / 255.0
     return jnp.clip(y, 0.0, 1.0), Xq
+
+
+def _jpeg_forward_planes(x, q_luma, q_chroma, rounding, taylor_terms, precision):
+    """The jpeg_forward chain on (N, 3, H, W) planes with block-diagonal DCT
+    operators — every tensor dense W-minor, every transform a large MXU matmul.
+
+    Same math as the blockified path (the kron operators apply the identical
+    per-8-block DCTs; equivalence-tested in tests/test_jpeg.py), but no
+    (…, 8, 8)-minor intermediates: on TPU those tile-pad their 8-wide lane dim
+    to 128, which the round-5 device trace measured at 2-3% roofline efficiency
+    across dct.py/color.py/blockify — the largest waste bucket of the flagship
+    step. Differentiable by plain AD; used for DEFAULT/HIGH-precision callers
+    (bf16 distribution channels and manipulation branches)."""
+    import jax
+    n, h, w, _ = x.shape
+    dt = x.dtype
+    prec = precision or jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        # canonical (…, K) @ (K, K) matmul — minor-dim contraction, the form
+        # XLA:TPU lowers directly (a mid-axis einsum contraction here measured
+        # a 3-minute compile for ONE codec; this form compiles in seconds)
+        return jnp.matmul(a, jnp.asarray(b, dt), precision=prec,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    ycc = color.rgb_to_ycbcr(255.0 * x, precision=precision) - 127.0
+    planes = ycc.transpose(0, 3, 1, 2)                     # (N, 3, H, W)
+
+    bd_h, bdt_h = dct.blockdiag_dct_matrices(h)            # I ⊗ D, I ⊗ Dᵀ
+    bd_w, bdt_w = dct.blockdiag_dct_matrices(w)
+
+    # X = (I ⊗ D_H) p (I ⊗ D_Wᵀ), as two W-minor matmuls with a dense
+    # (H, W) transpose between — the coefficients stay TRANSPOSED (…, W, H)
+    # through quantization and transpose back inside the inverse pass.
+    t = mm(planes, bdt_w).transpose(0, 1, 3, 2)            # (N, 3, W, H)
+    Xt = mm(t, bdt_h)                                      # rows: DCT over H
+
+    Q = jnp.stack([q_luma, q_chroma, q_chroma]).astype(dt)     # (3, 8, 8)
+    Qft = jnp.tile(Q.transpose(0, 2, 1), (1, w // 8, h // 8))[None]  # (1,3,W,H)
+    Xqt = quant.quantize(Xt / Qft, rounding, taylor_terms=taylor_terms) * Qft
+
+    y = mm(mm(Xqt, bd_h).transpose(0, 1, 3, 2), bd_w)      # (N, 3, H, W)
+
+    y = color.ycbcr_to_rgb(y.transpose(0, 2, 3, 1) + 127.0,
+                           precision=precision) / 255.0
+    # blocked-coefficient view (N, 3, hb, wb, 8, 8) — DCE'd when the caller
+    # drops it, so the hot paths never materialize it
+    coeffs = (Xqt.transpose(0, 1, 3, 2)
+              .reshape(n, 3, h // 8, 8, w // 8, 8).transpose(0, 1, 2, 4, 3, 5))
+    return jnp.clip(y, 0.0, 1.0), coeffs
 
 
 class DifferentiableJPEG:

@@ -22,6 +22,21 @@ def dct_matrix(n=8):
     return d.astype(np.float32)
 
 
+@functools.lru_cache()
+def blockdiag_dct_matrices(size):
+    """(size, size) block-diagonal DCT operators (I_{size/8} ⊗ D, I_{size/8} ⊗ Dᵀ).
+
+    Left/right-multiplying a (…, H, W) plane by these applies independent 8-point
+    DCTs to every aligned 8-row/8-column group — the whole-image 2-D block DCT as
+    two DENSE matmuls, with no (…, 8, 8)-minor intermediate. On TPU this is the
+    layout-critical form: blockified tensors tile-pad their 8-lane minor dim to
+    128 (≈16× physical bytes), while the plane form keeps W in the lanes."""
+    d = dct_matrix(8)
+    eye = np.eye(size // 8, dtype=np.float32)
+    return (np.kron(eye, d).astype(np.float32),
+            np.kron(eye, d.T).astype(np.float32))
+
+
 def blockify(x, block=8):
     """(N, H, W, C) → (N, C, H/b, W/b, b, b) array of non-overlapping blocks."""
     n, h, w, c = x.shape

@@ -122,8 +122,13 @@ def depthwise_conv2d(x, k2d, pad_mode='reflect'):
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     n, h, w, c = x.shape
     in_dtype = x.dtype
-    xp = pad2d(x.astype(jnp.float32), ph, pad_mode)
-    flat = xp.reshape(n, h + 2 * ph, (w + 2 * pw) * c)
+    # Pad in the FLAT (N, H, W·C) layout, not NHWC: jnp.pad of a C≤4-minor
+    # tensor writes >90%-padding tiles (round-5 device trace: the single pad
+    # was ~1 ms/step at 6% roofline efficiency in the flagship step). Row
+    # padding maps directly onto axis 1; column padding is group-level
+    # (reflection unit = one c-group), built from narrow edge strips.
+    flat = x.astype(jnp.float32).reshape(n, h, w * c)
+    flat = _pad_flat_groups(flat, c, ph, pw, pad_mode)
     acc = jnp.zeros((n, h, w * c), dtype=jnp.float32)
     for dy in range(kh):
         for dx in range(kw):
@@ -133,6 +138,36 @@ def depthwise_conv2d(x, k2d, pad_mode='reflect'):
                       else k2d[dy, dx])
             acc = acc + tap * weight
     return acc.reshape(n, h, w, c).astype(in_dtype)
+
+
+def _pad_flat_groups(flat, c, ph, pw, mode):
+    """Spatial padding of an (N, H, W·C) flattened NHWC tensor, staying dense.
+
+    Rows (axis 1) pad natively; columns pad at c-group granularity: the pw edge
+    groups are sliced, group-reversed through a cheap (…, pw, c) view, and
+    concatenated along the minor axis. Supports 'reflect' (no edge repeat),
+    'symmetric' (edge repeat) and 'constant' — the modes the manipulation
+    kernels use."""
+    if ph:
+        if mode == 'constant':
+            flat = jnp.pad(flat, ((0, 0), (ph, ph), (0, 0)))
+        else:
+            flat = jnp.pad(flat, ((0, 0), (ph, ph), (0, 0)), mode=mode)
+    if not pw:
+        return flat
+    n, hp, wc = flat.shape
+    w = wc // c
+    if mode == 'constant':
+        return jnp.pad(flat, ((0, 0), (0, 0), (pw * c, pw * c)))
+    lo, hi = (1, w - 1 - pw) if mode == 'reflect' else (0, w - pw)
+
+    def grouprev(strip):
+        s = strip.reshape(n, hp, pw, c)
+        return jnp.flip(s, axis=2).reshape(n, hp, pw * c)
+
+    left = grouprev(jax.lax.slice(flat, (0, 0, lo * c), (n, hp, (lo + pw) * c)))
+    right = grouprev(jax.lax.slice(flat, (0, 0, hi * c), (n, hp, (hi + pw) * c)))
+    return jnp.concatenate([left, flat, right], axis=2)
 
 
 def pad2d(x, pad, mode='reflect'):

@@ -183,3 +183,65 @@ class TestImplDispatch:
     def test_auto_is_xla_off_tpu(self):
         from neural_imaging_tpu.models.jpeg import _pallas_jpeg_wins
         assert not _pallas_jpeg_wins((1, 512, 512, 3))  # CPU test backend
+
+    def test_planes_impl_matches_xla(self):
+        """The dense plane-form path (block-diagonal DCT operators) must match
+        the blockified path bit-closely at f32: the kron operators perform the
+        identical per-8-block transforms, only the summation layout differs."""
+        from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
+        from neural_imaging_tpu.models.jpeg import jpeg_forward
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((2, 24, 32, 3)), jnp.float32)
+        ql, qc = jnp.asarray(jpeg_qtable(50, 0)), jnp.asarray(jpeg_qtable(50, 1))
+        prec = jax.lax.Precision.DEFAULT
+        y_x, c_x = jpeg_forward(x, ql, qc, rounding='soft', impl='xla',
+                                precision=prec)
+        y_p, c_p = jpeg_forward(x, ql, qc, rounding='soft', impl='planes',
+                                precision=prec)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), atol=2e-3)
+
+    def test_planes_impl_gradients_match_xla(self):
+        """AD through the plane form must agree with the blockified form —
+        both input and quantization-table gradients (trainable-qtable path)."""
+        from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
+        from neural_imaging_tpu.models.jpeg import jpeg_forward
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+        ql, qc = jnp.asarray(jpeg_qtable(50, 0)), jnp.asarray(jpeg_qtable(50, 1))
+        prec = jax.lax.Precision.DEFAULT
+
+        def loss(impl, x, ql, qc):
+            y, _ = jpeg_forward(x, ql, qc, rounding='soft', impl=impl,
+                                precision=prec)
+            return jnp.sum(y ** 2)
+
+        for argnum in (0, 1, 2):
+            g_x = jax.grad(lambda *a: loss('xla', *a), argnums=argnum)(x, ql, qc)
+            g_p = jax.grad(lambda *a: loss('planes', *a), argnums=argnum)(x, ql, qc)
+            np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_planes_impl_bf16_tracks_f32(self):
+        """The bf16 plane path (the throughput knob's actual configuration)
+        stays within bf16 tolerance of the f32 result."""
+        from neural_imaging_tpu.compression.jpeg_helpers import jpeg_qtable
+        from neural_imaging_tpu.models.jpeg import jpeg_forward
+
+        rng = np.random.default_rng(13)
+        x32 = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        ql, qc = jnp.asarray(jpeg_qtable(50, 0)), jnp.asarray(jpeg_qtable(50, 1))
+        prec = jax.lax.Precision.DEFAULT
+        y32, _ = jpeg_forward(x32, ql, qc, rounding='soft', impl='planes',
+                              precision=prec)
+        y16, _ = jpeg_forward(x32.astype(jnp.bfloat16), ql, qc, rounding='soft',
+                              impl='planes', precision=prec)
+        # elementwise comparison is ill-posed (bf16 noise near a hard-rounding
+        # boundary flips a full quantization step); compare the fidelity of the
+        # two codecs instead
+        p32 = float(metrics.psnr(np.asarray(x32), np.clip(np.asarray(y32), 0, 1)))
+        p16 = float(metrics.psnr(np.asarray(x32),
+                                 np.clip(np.asarray(y16, np.float32), 0, 1)))
+        assert abs(p32 - p16) < 1.5, (p32, p16)
