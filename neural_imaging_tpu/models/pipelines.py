@@ -58,7 +58,7 @@ class INetCore(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.conv_precision == 'exact':
+        if self.conv_precision in ('exact', 'exact_chw'):
             conv = ops.small_conv2d
         else:
             prec = {'highest': jax.lax.Precision.HIGHEST,
@@ -86,21 +86,36 @@ class INetCore(nn.Module):
         if self.trainable_upsampling:
             upk = self.param('upsampling', _const_init(upk), upk.shape)
 
-        h12 = conv(x, upk)
-        bayer = ops.depth_to_space(h12, 2)
-
-        pad = (self.kernel - 1) // 2
-        bayer = ops.pad2d(bayer, pad, 'reflect')
         dm = self.param('demosaic', _const_init(dmf), dmf.shape)
-        rgb = conv(bayer, dm, padding='VALID')
-
         srgb_k = self.param('srgb', _const_init(srgbk), srgbk.shape)
-        srgb = conv(rgb, srgb_k)
-
         gk1 = self.param('gamma_d1_kernel', _const_init(g1k), g1k.shape)
         gb1 = self.param('gamma_d1_bias', _const_init(g1b), g1b.shape)
         gk2 = self.param('gamma_d2_kernel', _const_init(g2k), g2k.shape)
         gb2 = self.param('gamma_d2_bias', _const_init(g2b), g2b.shape)
+        pad = (self.kernel - 1) // 2
+
+        if self.conv_precision == 'exact_chw':
+            # Same exact-f32 math in channels-FIRST planes: the NHWC form's
+            # C≤12-minor tensors are >90% lane padding on TPU; here every
+            # intermediate keeps W in the lanes (ops.conv_chw). Only the raw
+            # input read and final RGB write touch NHWC layouts.
+            xc = x.astype(jnp.float32).transpose(0, 3, 1, 2)   # (N, 4, h, w)
+            bayer = ops.depth_to_space_chw(ops.conv_chw(xc, upk), 2)
+            bayer = jnp.pad(bayer, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+                            mode='reflect')
+            rgb = ops.conv_chw(bayer, dm)
+            srgb = ops.conv_chw(rgb, srgb_k)
+            g = jnp.tanh(ops.conv_chw(srgb, gk1) + gb1[None, :, None, None])
+            y = ops.conv_chw(g, gk2) + gb2[None, :, None, None]
+            return ops.st_clip(y.transpose(0, 2, 3, 1))
+
+        h12 = conv(x, upk)
+        bayer = ops.depth_to_space(h12, 2)
+
+        bayer = ops.pad2d(bayer, pad, 'reflect')
+        rgb = conv(bayer, dm, padding='VALID')
+
+        srgb = conv(rgb, srgb_k)
 
         g = jnp.tanh(conv(srgb, gk1) + gb1)
         y = conv(g, gk2) + gb2
@@ -426,7 +441,7 @@ class INet(NIPModel):
             'kernel': (5, int, (3, 11)),
             'trainable_upsampling': (False, bool, None),
             'cfa_pattern': ('gbrg', str, {'gbrg', 'rggb', 'bggr'}),
-            'conv_precision': ('exact', str, {'exact', 'highest', 'high', 'default'}),
+            'conv_precision': ('exact', str, {'exact', 'exact_chw', 'highest', 'high', 'default'}),
         })
         self._h.update(random_init=random_init, kernel=kernel,
                        trainable_upsampling=trainable_upsampling, cfa_pattern=cfa_pattern,

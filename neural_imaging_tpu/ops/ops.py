@@ -69,6 +69,44 @@ def small_conv2d(x, kernel, padding='SAME'):
     return out.astype(in_dtype)
 
 
+def conv_chw(x, kernel, padding='VALID', pad_mode='constant'):
+    """Exact-f32 conv on channels-FIRST input (N, Cin, H, W) → (N, Cout, H', W').
+
+    Same shift-add math as :func:`small_conv2d` (f32 VPU accumulation, no MXU
+    emulation passes), but on W-minor planes: every slice and FMA runs on dense
+    tiles, where the NHWC form's (…, C≤12)-minor layout is >90% lane padding
+    (round-5 device trace, docs/benchmarks.md). ``kernel`` stays HWIO. 'SAME'
+    padding uses ``pad_mode`` ('constant' | 'reflect' | 'symmetric')."""
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    kernel = jnp.asarray(kernel, dtype=jnp.float32)
+    kh, kw, cin, cout = kernel.shape
+    if padding == 'SAME' and (kh > 1 or kw > 1):
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        cfg = ((0, 0), (0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw))
+        x = jnp.pad(x, cfg) if pad_mode == 'constant' else jnp.pad(x, cfg, mode=pad_mode)
+    n, _, hp, wp = x.shape
+    h, w = hp - kh + 1, wp - kw + 1
+    out = jnp.zeros((n, cout, h, w), dtype=jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = jax.lax.slice(x, (0, 0, dy, dx), (n, cin, dy + h, dx + w))
+            # contract Cin on the sublane-adjacent axis — VPU broadcast FMAs
+            out = out + jnp.einsum('nihw,io->nohw', patch, kernel[dy, dx],
+                                   precision=jax.lax.Precision.HIGHEST)
+    return out.astype(in_dtype)
+
+
+def depth_to_space_chw(x, block=2):
+    """TF-semantics depth_to_space on (N, C, H, W): channel (i*block+j)*cc + c
+    → subpixel (i, j) (the channels-first twin of :func:`depth_to_space`)."""
+    n, c, h, w = x.shape
+    cc = c // (block * block)
+    x = x.reshape(n, block, block, cc, h, w)
+    x = x.transpose(0, 3, 4, 1, 5, 2)                  # (n, cc, h, bi, w, bj)
+    return x.reshape(n, cc, h * block, w * block)
+
+
 def normalize_batch(x):
     """uint8/uint16 batches → float32 in [0,1]; float batches pass through.
 

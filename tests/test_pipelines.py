@@ -71,6 +71,23 @@ class TestINetInitialization:
         m2 = pipelines.INet(patch_size=16, trainable_upsampling=True)
         assert m2.count_parameters() == m1.count_parameters() + 48
 
+    def test_exact_chw_matches_exact(self):
+        """conv_precision='exact_chw' (channels-first planes) is the same
+        exact-f32 math as 'exact' — forward bit-equal, grads to f32 tolerance."""
+        import jax
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 16, 16, 4)), jnp.float32)
+        a = pipelines.INet(patch_size=16, conv_precision='exact')
+        b = pipelines.INet(patch_size=16, conv_precision='exact_chw')
+        np.testing.assert_array_equal(np.asarray(a.process(x)),
+                                      np.asarray(b.process(x)))
+        ga = jax.grad(lambda p: jnp.sum(a._apply(p, x) ** 2))(a.params)
+        gb = jax.grad(lambda p: jnp.sum(b._apply(p, x) ** 2))(b.params)
+        for k in ga:
+            np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(ga[k]),
+                                       atol=5e-3, rtol=1e-4)
+
 
 class TestTraining:
     def test_loss_decreases(self):
