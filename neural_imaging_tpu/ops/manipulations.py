@@ -5,6 +5,8 @@ workflow learns to classify (reference helpers/tf_helpers.py:68-213).
 All functions are pure NHWC → NHWC maps, safe under jit/vmap/grad. The stochastic
 AWGN manipulation takes an explicit PRNG key.
 """
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,11 +15,66 @@ from neural_imaging_tpu.ops import color, ops
 from neural_imaging_tpu.ops.kernels import gkern, repeat_2dfilter
 
 
+@functools.lru_cache()
+def _resize_matrix(n_in, n_out):
+    """(n_out, n_in) operator of jax.image.resize's 1-D 'bilinear' resize
+    (half-pixel centers, antialiased downsampling), extracted EXACTLY by
+    probing the (linear, separable) resize with an identity matrix."""
+    def probe():
+        # escape any enclosing trace — this is a compile-time constant
+        with jax.ensure_compile_time_eval():
+            return jax.image.resize(jnp.eye(n_in, dtype=jnp.float32),
+                                    (n_out, n_in), method='bilinear')
+    try:  # build on the host CPU
+        with jax.default_device(jax.devices('cpu')[0]):
+            m = probe()
+    except RuntimeError:
+        m = probe()
+    return np.asarray(m, np.float32)
+
+
+@functools.lru_cache()
+def _resize_matrix_grouped(n_in, n_out, c):
+    """(n_in·c, n_out·c) right-operand form Mᵀ ⊗ I_c: resizes the W axis of a
+    flattened (…, W·C) tensor at c-group granularity."""
+    return np.kron(_resize_matrix(n_in, n_out).T,
+                   np.eye(c, dtype=np.float32)).astype(np.float32)
+
+
+def resize_bilinear_flat(x, h_out, w_out):
+    """jax.image.resize(..., 'bilinear') computed as two DENSE matmuls on the
+    flattened (N, H, W·C) layout.
+
+    The stock lowering contracts the spatial axes of C=3-minor NHWC tensors
+    whose TPU tile layout is >90% lane padding (round-5 trace); here both
+    1-D resizes are canonical minor-dim matmuls on dense tiles. Exact to f32
+    roundoff (operators probed from jax.image.resize itself;
+    tests/test_ops.py)."""
+    n, h, w, c = x.shape
+    if h_out == h and w_out == w:
+        return x
+    dt = x.dtype
+    hi = jax.lax.Precision.HIGHEST
+    flat = x.reshape(n, h, w * c)
+    if h_out != h:
+        flat = jnp.matmul(jnp.asarray(_resize_matrix(h, h_out), dt), flat,
+                          precision=hi, preferred_element_type=jnp.float32
+                          ).astype(dt)
+    if w_out != w:
+        flat = jnp.matmul(flat, jnp.asarray(_resize_matrix_grouped(w, w_out, c), dt),
+                          precision=hi, preferred_element_type=jnp.float32
+                          ).astype(dt)
+    return flat.reshape(n, h_out, w_out, c)
+
+
 def resample(x, factor=50, method='bilinear'):
     """Down-and-back-up resampling by a percentage factor (50 → half size)."""
     if 0 < factor <= 1:
         factor = 100 * factor
     size = x.shape[1] * int(factor) // 100
+    if method == 'bilinear':
+        down = resize_bilinear_flat(x, size, size)
+        return resize_bilinear_flat(down, x.shape[1], x.shape[1])
     down = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), method=method)
     return jax.image.resize(down, (x.shape[0], x.shape[1], x.shape[1], x.shape[3]), method=method)
 

@@ -239,6 +239,23 @@ class TestManipulations:
         assert out.shape == self.x.shape
         assert float(jnp.var(out)) < float(jnp.var(self.x))
 
+    def test_resize_bilinear_flat_matches_jax_image(self):
+        """The dense flat-layout resize must reproduce jax.image.resize
+        ('bilinear', incl. antialiased downsampling) to f32 roundoff — the
+        operators are probed from jax.image.resize itself, so this pins the
+        probing AND the grouped kron application."""
+        import numpy as np
+        for (h, w, ho, wo) in [(24, 32, 12, 16), (12, 16, 24, 32), (20, 20, 13, 27)]:
+            x = jnp.asarray(np.random.default_rng(7).random((2, h, w, 3)), jnp.float32)
+            ref = jax.image.resize(x, (2, ho, wo, 3), method='bilinear')
+            got = manipulations.resize_bilinear_flat(x, ho, wo)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-6, rtol=1e-5)
+
+    def test_resample_nonbilinear_fallback(self):
+        out = manipulations.resample(self.x, 50, method='nearest')
+        assert out.shape == self.x.shape
+
     def test_awgn_determinism_with_key(self):
         key = jax.random.PRNGKey(3)
         a = manipulations.awgn(self.x, 0.02, key)
