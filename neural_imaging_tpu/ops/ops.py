@@ -225,6 +225,37 @@ def avg_pool(x, factor):
     return out / (factor * factor)
 
 
+@functools.lru_cache()
+def _pool_matrix(n, f):
+    m = np.zeros((n // f, n), np.float32)
+    for i in range(n // f):
+        m[i, i * f:(i + 1) * f] = 1.0 / f
+    return m
+
+
+@functools.lru_cache()
+def _pool_matrix_grouped(n, f, c):
+    return np.kron(_pool_matrix(n, f).T, np.eye(c, dtype=np.float32)).astype(np.float32)
+
+
+def avg_pool_flat(x, factor):
+    """:func:`avg_pool` as two dense matmuls on the flattened (N, H, W·C)
+    layout — for small-C NHWC batches, where reduce_window's C-minor tiles are
+    >90% lane padding (round-5 trace). Same mean (separable 1/f · 1/f weights,
+    f32 accumulation); falls back to :func:`avg_pool` on non-divisible shapes."""
+    n, h, w, c = x.shape
+    if h % factor or w % factor:
+        return avg_pool(x, factor)
+    dt = x.dtype
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    flat = x.reshape(n, h, w * c)
+    flat = jnp.matmul(jnp.asarray(_pool_matrix(h, factor), dt), flat,
+                      precision=prec, preferred_element_type=jnp.float32).astype(dt)
+    flat = jnp.matmul(flat, jnp.asarray(_pool_matrix_grouped(w, factor, c), dt),
+                      precision=prec, preferred_element_type=jnp.float32).astype(dt)
+    return flat.reshape(n, h // factor, w // factor, c)
+
+
 def max_pool(x, window=2, stride=None, padding='VALID'):
     stride = stride or window
     return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,

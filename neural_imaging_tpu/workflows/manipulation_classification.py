@@ -36,7 +36,8 @@ class ManipulationClassification:
     def __init__(self, nip_model, manipulations=None, distribution=None, fan_args=None,
                  trainable=None, raw_patch_size=128, loss_metric='L2', rng_seed=0,
                  remat=False, channel_dtype='float32', nip_args=None,
-                 channel_jpeg_dtype=None, manip_jpeg_dtype=None):
+                 channel_jpeg_dtype=None, manip_jpeg_dtype=None,
+                 pool_impl='window'):
         """
         :param nip_model: '<nip class>[:dirname]' — NIP class + optional pretrained dir
         :param manipulations: list of '<name>[:strength]' specs
@@ -81,6 +82,9 @@ class ManipulationClassification:
         if manip_jpeg_dtype not in (None, 'float32', 'bfloat16'):
             raise ValueError(f'Unsupported manipulation JPEG dtype {manip_jpeg_dtype}')
         self._manip_jpeg_bf16 = manip_jpeg_dtype == 'bfloat16'
+        if pool_impl not in ('window', 'flat'):
+            raise ValueError(f'Unsupported pool_impl {pool_impl}')
+        self._pool_impl = pool_impl
 
         self._trainable = set() if trainable is None else set(trainable)
         self._trainable.add('fan')
@@ -316,6 +320,13 @@ class ManipulationClassification:
         ds = self._distribution['downsampling']
         factor = self.downsampling_factor
         if ds.startswith('pool'):
+            # 'window' lets XLA fuse the (K+1)-branch concat into the pooling
+            # reduce-window (round-4 measurement: breaking that fusion cost
+            # 26%); 'flat' pools via dense matmuls on the (N, H, W·C) layout
+            # instead (same mean) — a measured-only alternative, since a dot
+            # materializes its concat operand.
+            if self._pool_impl == 'flat':
+                return ops.avg_pool_flat(batch, factor)
             return ops.avg_pool(batch, factor)
         if ds == 'bilinear':
             return ops.resize_bilinear(batch, batch.shape[1] // factor,

@@ -256,6 +256,17 @@ class TestManipulations:
         out = manipulations.resample(self.x, 50, method='nearest')
         assert out.shape == self.x.shape
 
+    def test_avg_pool_flat_matches_window(self):
+        import numpy as np
+        from neural_imaging_tpu.ops import ops as O
+        x = jnp.asarray(np.random.default_rng(3).random((2, 16, 12, 3)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(O.avg_pool_flat(x, 2)),
+                                   np.asarray(O.avg_pool(x, 2)), atol=1e-6)
+        # non-divisible shapes fall back to the window form
+        x2 = jnp.asarray(np.random.default_rng(3).random((2, 15, 12, 3)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(O.avg_pool_flat(x2, 2)),
+                                   np.asarray(O.avg_pool(x2, 2)), atol=1e-6)
+
     def test_awgn_determinism_with_key(self):
         key = jax.random.PRNGKey(3)
         a = manipulations.awgn(self.x, 0.02, key)
