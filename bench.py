@@ -12,7 +12,9 @@ distribution channel + FAN (E2E gate `train-manipulation-bf16`, which also
 covers the MXU ConstrainedConv path), INet convs on the 'exact' f32 VPU path
 (round 5: faster than every MXU precision at these channel counts AND
 parity-grade numerics), and both dJPEGs — the distribution channel AND the
-'jpeg' manipulation branch — in bf16 at DEFAULT precision.
+'jpeg' manipulation branch — in bf16 at DEFAULT precision, which auto-selects
+the dense plane-form codec (jpeg_forward impl='planes', round 5b; equivalence-
+tested against the blockified form).
 Each bf16 knob has a paired joint-run quality arm in docs/quality_runs.md
 (re-confirmed at 1000 validation decisions in round 5:
 0.820/0.820/0.820/0.835/0.850 — all neutral when validated as trained).
