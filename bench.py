@@ -51,7 +51,7 @@ def build_flow_and_batches():
     """The exact benched configuration — shared with bench_trace.py so the
     profiled step is byte-identical to the headline one."""
     from neural_imaging_tpu.utils.runtime import configure_jax
-    configure_jax()  # persistent compilation cache (tunneled compiles are slow)
+    configure_jax(cache_writes=False)  # reads only: a cache WRITE downloads the executable over the tunnel (runtime.py)
 
     import numpy as np
     import jax
@@ -108,7 +108,7 @@ def main():
             loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
         jax.block_until_ready(loss)
         windows.append(ITERS / (time.perf_counter() - t0))
-    flow.assert_finite()
+    flow.assert_finite(timeout_s=20.0)  # downlink-tolerant (see workflow docstring)
 
     steps_per_sec = max(windows)  # best window (tunnel latency is one-sided noise)
     mean = sum(windows) / len(windows)

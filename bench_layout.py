@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, '.')
 
 from neural_imaging_tpu.utils.runtime import configure_jax
-configure_jax()
+configure_jax(cache_writes=False)  # reads only: a cache WRITE downloads the executable over the tunnel (runtime.py)
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ import time
 sys.path.insert(0, '.')
 
 from neural_imaging_tpu.utils.runtime import configure_jax
-configure_jax()
+configure_jax(cache_writes=False)  # reads only: a cache WRITE downloads the executable over the tunnel (runtime.py)
 
 import jax
 import numpy as np
@@ -59,7 +59,7 @@ def run(overrides):
             loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
         jax.block_until_ready(loss)
         windows.append(ITERS / (time.perf_counter() - t0))
-    flow.assert_finite()
+    flow.assert_finite(timeout_s=20.0)  # downlink-tolerant (see workflow docstring)
     return max(windows), windows
 
 

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from neural_imaging_tpu.utils.runtime import configure_jax
-configure_jax()
+configure_jax(cache_writes=False)  # reads only: a cache WRITE downloads the executable over the tunnel (runtime.py)
 
 
 def timeit(fn, *args, iters=20, warmup=3):

@@ -3,18 +3,23 @@ Color space conversions: JPEG-standard RGB↔YCbCr affine transforms and RGB↔H
 (tf.image parity, used by the sharpen manipulation).
 """
 import jax.numpy as jnp
+import numpy as np
 
 # JPEG (JFIF) color transform constants (ref models/jpeg.py:74-75). 255-scale, with
 # the chroma channels offset by +128; the inverse folds the offsets into the affine.
-_F_MATRIX = jnp.array([[0.299, 0.587, 0.114],
-                       [-0.168736, -0.331264, 0.5],
-                       [0.5, -0.418688, -0.081312]], dtype=jnp.float32)
-_F_OFFSET = jnp.array([0.0, 128.0, 128.0], dtype=jnp.float32)
+# Kept as HOST (numpy) arrays: a module-level jnp.array lands on the default
+# accelerator, and XLA lowering then has to FETCH it to embed the constant —
+# a device→host round trip per compile that stalls entirely when a tunneled
+# device's downlink degrades (round-5 notes).
+_F_MATRIX = np.array([[0.299, 0.587, 0.114],
+                      [-0.168736, -0.331264, 0.5],
+                      [0.5, -0.418688, -0.081312]], dtype=np.float32)
+_F_OFFSET = np.array([0.0, 128.0, 128.0], dtype=np.float32)
 
-_I_MATRIX = jnp.array([[1.0, 0.0, 1.402],
-                       [1.0, -0.344136, -0.714136],
-                       [1.0, 1.772, 0.0]], dtype=jnp.float32)
-_I_OFFSET = jnp.array([-1.402 * 128, 1.058272 * 128, -1.772 * 128], dtype=jnp.float32)
+_I_MATRIX = np.array([[1.0, 0.0, 1.402],
+                      [1.0, -0.344136, -0.714136],
+                      [1.0, 1.772, 0.0]], dtype=np.float32)
+_I_OFFSET = np.array([-1.402 * 128, 1.058272 * 128, -1.772 * 128], dtype=np.float32)
 
 
 def rgb_to_ycbcr(x255, precision=None):

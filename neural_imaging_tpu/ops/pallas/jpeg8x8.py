@@ -67,9 +67,9 @@ def _block_diag_dct(width):
 
 
 def _blockdiag_pair(size):
-    """(I ⊗ D, I ⊗ Dᵀ) as jnp constants for the plane-form VJP."""
-    bd, bdt = dct_ops.blockdiag_dct_matrices(size)
-    return jnp.asarray(bd), jnp.asarray(bdt)
+    """(I ⊗ D, I ⊗ Dᵀ) as HOST numpy constants for the plane-form VJP (host
+    constants embed into HLO without a device round trip)."""
+    return dct_ops.blockdiag_dct_matrices(size)
 
 
 def _pallas_core(planes, q_tables, interpret):

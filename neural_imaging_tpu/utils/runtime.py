@@ -10,13 +10,18 @@ computation:
 - ``NI_TPU_CACHE_DIR``: persistent compilation cache directory (defaults to
   ``<repo>/.jax_cache``; set to '0' to disable). Remote/tunneled compilation can
   take minutes for the joint workflow graph — the cache amortizes it across runs.
+- ``NI_TPU_CACHE_WRITE``: set to '0' to keep cache READS but skip WRITES. Over
+  a tunneled device, writing an entry downloads the multi-MB serialized
+  executable from the compile server — measured at 45 KB/s → minutes per
+  program when the tunnel's downlink degrades (round-5 notes), while the
+  server-side compile itself stays fast. Bench tooling defaults writes OFF.
 """
 import os
 
 _configured = False
 
 
-def configure_jax(platform=None, cache_dir=None):
+def configure_jax(platform=None, cache_dir=None, cache_writes=None):
     global _configured
     import jax
 
@@ -31,7 +36,11 @@ def configure_jax(platform=None, cache_dir=None):
         cache_dir = os.path.join(repo, '.jax_cache')
     if cache_dir and cache_dir != '0':
         jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+        if cache_writes is None:
+            cache_writes = os.environ.get('NI_TPU_CACHE_WRITE', '1') != '0'
+        # an effectively-infinite threshold keeps reads while skipping writes
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          5.0 if cache_writes else 1e9)
 
     _configured = True
     return jax
@@ -68,6 +77,27 @@ def warn_if_uncalibrated_device(feature):
         f"path is still correct but may not be the fastest — re-measure with "
         f"bench_pallas.py and pin impl explicitly if performance matters.",
         stacklevel=3)
+
+
+def fetch_with_timeout(arr, timeout_s=15.0):
+    """Device→host fetch guarded by a timeout: returns np.asarray(arr), or
+    None if the transfer doesn't complete in time.
+
+    Over a tunneled device the downlink can wedge entirely (round-5 notes:
+    even 4-byte fetches hang); an unguarded fetch then blocks forever. The
+    fetch runs in a daemon thread so a stall can't hang the caller — used by
+    bench tooling to keep reporting alive when only the downlink is broken."""
+    import threading
+    import numpy as np
+    out = {}
+
+    def pull():
+        out['v'] = np.asarray(arr)
+
+    t = threading.Thread(target=pull, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return out.get('v')
 
 
 def maybe_jit(fn):

@@ -645,15 +645,30 @@ class ManipulationClassification:
         self._push_params_to_models()
         return losses, nip_losses
 
-    def assert_finite(self):
+    def assert_finite(self, timeout_s=None):
         """Deferred NaN-gradient check (used when nan_check=False). Flags are
-        stacked on device so the check costs one transfer, not one per step."""
-        if self._finite_flags:
-            flags = np.concatenate([np.atleast_1d(np.asarray(f))
-                                    for f in self._finite_flags])
-            self._finite_flags = []
-            if not flags.all():
-                raise RuntimeError('∇ NaNs encountered in a joint training step')
+        stacked on device so the check costs one transfer, not one per step.
+
+        ``timeout_s`` bounds the device→host transfer: over a tunneled device
+        whose downlink has wedged (round-5 notes), an unguarded fetch blocks
+        forever — with a timeout the check degrades to a warning instead."""
+        if not self._finite_flags:
+            return
+        stacked = jnp.stack([jnp.atleast_1d(jnp.asarray(f)).all()
+                             for f in self._finite_flags])
+        self._finite_flags = []
+        if timeout_s is None:
+            flags = np.asarray(stacked)
+        else:
+            from neural_imaging_tpu.utils.runtime import fetch_with_timeout
+            flags = fetch_with_timeout(stacked, timeout_s)
+            if flags is None:
+                import warnings
+                warnings.warn('assert_finite: device→host transfer timed out; '
+                              'NaN check skipped (downlink stalled)')
+                return
+        if not flags.all():
+            raise RuntimeError('∇ NaNs encountered in a joint training step')
 
     def _push_params_to_models(self):
         """Keep the component shells in sync so their save/validate APIs see the
