@@ -94,6 +94,7 @@ def build_flow_and_batches():
 
 def main():
     import jax
+    from neural_imaging_tpu.utils.runtime import fetch_with_timeout
 
     flow, bx, by = build_flow_and_batches()
 
@@ -101,12 +102,31 @@ def main():
         loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
     jax.block_until_ready(loss)
 
+    # Timing integrity gate: with a wedged tunnel downlink, completion events
+    # can't reach the client and block_until_ready returns before the device
+    # has drained its queue (measured: an impossible 1384 "steps/s"). A real
+    # 4-byte value fetch is the only trustworthy barrier — verify it works,
+    # and end every timing window with one.
+    if fetch_with_timeout(loss, timeout_s=120.0) is None:
+        print(json.dumps({
+            'metric': f'joint NIP+dJPEG+FAN train steps/s (batch {BATCH}, raw patch {RAW_PATCH}, 5 classes)',
+            'value': None, 'unit': 'steps/s', 'vs_baseline': None,
+            'error': 'device→host downlink wedged: completion events are '
+                     'unverifiable, so wall timing would be fiction (see '
+                     'ROUND5_NOTES.md). The step itself compiled and ran.',
+            'last_verified': {'steps_per_sec': 62.25,
+                              'windows': [62.25, 61.25, 61.75],
+                              'source': 'bench_probe.py 2026-08-20 (identical '
+                                        'config, healthy link)'}}))
+        return
+
     windows = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
-        jax.block_until_ready(loss)
+        if fetch_with_timeout(loss, timeout_s=300.0) is None:
+            raise RuntimeError('downlink died mid-benchmark')
         windows.append(ITERS / (time.perf_counter() - t0))
     flow.assert_finite(timeout_s=20.0)  # downlink-tolerant (see workflow docstring)
 

@@ -49,15 +49,21 @@ def run(overrides):
     rng = np.random.default_rng(0)
     bx = jax.device_put(rng.random((BATCH, RAW_PATCH, RAW_PATCH, 4)).astype(np.float32))
     by = jax.device_put(rng.random((BATCH, 2 * RAW_PATCH, 2 * RAW_PATCH, 3)).astype(np.float32))
+    from neural_imaging_tpu.utils.runtime import fetch_with_timeout
     for _ in range(WARMUP):
         loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
     jax.block_until_ready(loss)
+    # real-fetch barrier: block_until_ready is not a trustworthy sync when the
+    # tunnel downlink is wedged (see bench.py) — every window ends on a fetch
+    if fetch_with_timeout(loss, timeout_s=120.0) is None:
+        raise RuntimeError('downlink wedged: timing would be fiction')
     windows = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             loss, _ = flow.training_step(bx, by, lambda_nip=0.1, learning_rate=1e-4)
-        jax.block_until_ready(loss)
+        if fetch_with_timeout(loss, timeout_s=300.0) is None:
+            raise RuntimeError('downlink died mid-probe')
         windows.append(ITERS / (time.perf_counter() - t0))
     flow.assert_finite(timeout_s=20.0)  # downlink-tolerant (see workflow docstring)
     return max(windows), windows
