@@ -169,3 +169,26 @@ class TestUtils:
     def test_shell(self):
         code, lines = utils.shell(['echo', 'hello'])
         assert code == 0 and lines == ['hello']
+
+
+class TestRuntime:
+    def test_fetch_with_timeout_returns_value(self):
+        import jax.numpy as jnp
+        from neural_imaging_tpu.utils.runtime import fetch_with_timeout
+        v = fetch_with_timeout(jnp.arange(4.0), timeout_s=30.0)
+        assert v is not None and v.shape == (4,) and v[3] == 3.0
+
+    def test_cache_writes_flag_sets_threshold(self, tmp_path, monkeypatch):
+        """cache_writes=False must keep the cache dir configured (reads) while
+        pushing the write threshold out of reach."""
+        import jax
+        from neural_imaging_tpu.utils import runtime
+        prev_dir = jax.config.jax_compilation_cache_dir
+        prev_thr = jax.config.jax_persistent_cache_min_compile_time_secs
+        runtime.configure_jax(cache_dir=str(tmp_path), cache_writes=False)
+        try:
+            assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+            assert jax.config.jax_persistent_cache_min_compile_time_secs >= 1e9
+        finally:
+            jax.config.update('jax_compilation_cache_dir', prev_dir)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', prev_thr)
