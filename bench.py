@@ -80,7 +80,12 @@ def build_flow_and_batches():
         # full-resolution f32/HIGHEST manipulation dJPEG as the largest single
         # segment of the step once the layouts were fixed; paired 1001-epoch
         # quality arm in docs/quality_runs.md (round-5)
-        manip_jpeg_dtype='bfloat16')
+        manip_jpeg_dtype='bfloat16',
+        # dense flat-layout avg pool for the manipulation-pooling stage:
+        # numerically equivalent to reduce_window (separable exact mean, f32
+        # accumulation, tests/test_ops.py) and +1.2% end-to-end — wins all
+        # 4 round-5 head-to-head probe runs (docs/benchmarks.md round-5b)
+        pool_impl='flat')
     # defer the NaN guard to the end so host dispatch pipelines with device compute
     flow.nan_check = False
 
@@ -114,10 +119,12 @@ def main():
             'error': 'device→host downlink wedged: completion events are '
                      'unverifiable, so wall timing would be fiction (see '
                      'ROUND5_NOTES.md). The step itself compiled and ran.',
-            'last_verified': {'steps_per_sec': 62.25,
-                              'windows': [62.25, 61.25, 61.75],
+            'last_verified': {'steps_per_sec': 62.95,
+                              'windows': [62.95, 62.43, 62.53],
                               'source': 'bench_probe.py 2026-08-20 (identical '
-                                        'config, healthy link)'}}))
+                                        'config incl. pool_impl=flat, healthy '
+                                        'link; reproduced 62.79-62.95 across '
+                                        '4 independent runs)'}}))
         return
 
     windows = []

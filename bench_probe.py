@@ -33,7 +33,8 @@ BASE = dict(
     channel_dtype='bfloat16',
     nip_args={'conv_precision': 'exact'},
     channel_jpeg_dtype='bfloat16',
-    manip_jpeg_dtype='bfloat16')
+    manip_jpeg_dtype='bfloat16',
+    pool_impl='flat')
 
 
 def run(overrides):
