@@ -119,12 +119,11 @@ def main():
             'error': 'device→host downlink wedged: completion events are '
                      'unverifiable, so wall timing would be fiction (see '
                      'ROUND5_NOTES.md). The step itself compiled and ran.',
-            'last_verified': {'steps_per_sec': 62.95,
-                              'windows': [62.95, 62.43, 62.53],
-                              'source': 'bench_probe.py 2026-08-20 (identical '
-                                        'config incl. pool_impl=flat, healthy '
-                                        'link; reproduced 62.79-62.95 across '
-                                        '4 independent runs)'}}))
+            'last_verified': {'steps_per_sec': 62.406,
+                              'windows': [62.32, 62.41, 62.22],
+                              'source': 'bench.py 2026-08-20 (this exact '
+                                        'config, healthy link; stddev 0.076, '
+                                        'probe reproductions 62.79-62.95)'}}))
         return
 
     windows = []
